@@ -1,0 +1,142 @@
+"""Typed, frozen solver configurations.
+
+The reference (`/root/reference/lqp_py/control.py:1-77`) uses plain dicts with
+``control.get(key, default)`` lookups scattered through the solvers, which
+caused two silent key-mismatch bugs (``check_terimnation`` vs ``check_solved``,
+``adaptive_rho_max_iter`` vs ``adaptive_max_iter``).  Here every config is a
+frozen dataclass: hashable (so it can be a static argument under ``jax.jit``),
+typo-proof, and with a single source of defaults.
+
+Dict-style constructors (``box_qp_control`` etc.) are provided for drop-in
+familiarity with the reference API; they return the dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+def _check_interval_default(n_x: int) -> int:
+    # Reference heuristic: max(round(sqrt(n_x)/10)*10, 1)
+    # (solve_box_qp_admm_torch.py:139)
+    return max(round(math.sqrt(n_x) / 10) * 10, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxQPConfig:
+    """Configuration for the batched box-QP ADMM solver.
+
+    Mirrors the knobs of the reference's ``box_qp_control``
+    (control.py:1-24) with the key-mismatch bugs fixed: ``check_solved``
+    and ``adaptive_rho_max_iter`` are actually honored here.
+    """
+
+    max_iters: int = 10_000
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    #: Residual-check interval; ``None`` -> reference heuristic
+    #: max(round(sqrt(n_x)/10)*10, 1).
+    check_solved: Optional[int] = None
+    #: ADMM penalty; ``None`` -> per-element auto: ||Q||_F / sqrt(n_x).
+    rho: Optional[float] = None
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+    adaptive_rho: bool = True
+    adaptive_rho_tol: float = 10.0
+    adaptive_rho_iter: int = 100
+    adaptive_rho_max_iter: int = 1000
+    adaptive_rho_threshold: float = 1e-5
+    verbose: bool = False
+    scale: bool = True
+    #: Scaling blend factor; ``None`` -> per-element auto from D quantiles.
+    beta: Optional[float] = None
+    unroll: bool = False
+    #: Backward mode: 'fixed_point' | 'kkt' (unroll=True uses autodiff).
+    backward: str = "fixed_point"
+    #: KKT solve strategy inside the ADMM loop:
+    #:   'inverse'  - precompute the reduced KKT inverse; each iteration is a
+    #:                single batched GEMV (TPU-native fast path).
+    #:   'cholesky' - keep triangular factors; each iteration does two
+    #:                triangular solves (better conditioned, slower on TPU).
+    kkt_solver: str = "inverse"
+    #: Fixed iteration count used when ``unroll=True`` (JAX cannot
+    #: reverse-differentiate a while_loop, so unrolled mode runs a static
+    #:-length lax.scan).  ``None`` -> max_iters.
+    unroll_iters: Optional[int] = None
+    #: Diagonal regularizer added to the masked KKT system in the
+    #: fixed-point backward (reference uses 1e-8).
+    backward_reg: float = 1e-8
+
+    def resolved_check_interval(self, n_x: int) -> int:
+        cs = self.check_solved
+        if cs is None:
+            cs = _check_interval_default(n_x)
+        return max(int(cs), 1)
+
+    def resolved_adaptive_interval(self, n_x: int) -> int:
+        # Reference rounds the adaptive-rho interval to a multiple of the
+        # check interval (solve_box_qp_admm_torch.py:146-147).
+        cs = self.resolved_check_interval(n_x)
+        it = round(self.adaptive_rho_iter / cs) * cs
+        return max(it, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptNetConfig:
+    """Configuration for the batched interior-point (OptNet-style) solver.
+
+    Mirrors ``optnet_control`` (control.py:27-36).
+    """
+
+    max_iters: int = 10
+    tol: float = 1e-3
+    check_solved: int = 1
+    verbose: bool = False
+    #: Residual reduction across the batch for the stopping test:
+    #: 'mean' | 'max'.
+    reduce: str = "max"
+    int_reg: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class GenQPConfig:
+    """Configuration for the batched general-inequality QP solver
+    (TPU-native replacement for the reference's sequential SCS wrapper,
+    scs_qp.py:52-118).  Solves  min 1/2 x'Qx + p'x  s.t. Ax=b, Gx<=h.
+    """
+
+    max_iters: int = 20_000
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+    check_solved: int = 25
+    rho: Optional[float] = None
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
+    sigma: float = 1e-6
+    adaptive_rho: bool = True
+    adaptive_rho_tol: float = 5.0
+    adaptive_rho_iter: int = 100
+    adaptive_rho_max_iter: int = 4000
+    verbose: bool = False
+    scale: bool = True
+    #: Backward mode: 'conic' (SCS-style projection-derivative implicit
+    #: diff, scs_qp.py:121-189) | 'kkt' (active-set KKT implicit diff).
+    backward: str = "kkt"
+
+
+def box_qp_control(**kwargs) -> BoxQPConfig:
+    """Dict-style constructor mirroring the reference's ``box_qp_control``.
+
+    Unknown keys raise immediately instead of being silently ignored.
+    """
+    return BoxQPConfig(**kwargs)
+
+
+def optnet_control(**kwargs) -> OptNetConfig:
+    return OptNetConfig(**kwargs)
+
+
+def genqp_control(**kwargs) -> GenQPConfig:
+    return GenQPConfig(**kwargs)

@@ -1,0 +1,207 @@
+"""Implicit backward passes for the box-QP layer.
+
+Two strategies, mirroring the reference's selectable backends
+(solve_box_qp_admm_torch.py:62-66):
+
+- ``fixed_point``: implicit differentiation of the ADMM fixed-point map
+  (``torch_solve_box_qp_grad``, solve_box_qp_admm_torch.py:349-432).  One
+  batched solve of a masked reduced KKT system.
+- ``kkt``: implicit differentiation of the KKT conditions with the box
+  rewritten as ``G = [-I; I], h = [-lb; ub]``
+  (``torch_solve_box_qp_grad_kkt`` + helpers,
+  solve_box_qp_admm_torch.py:435-584).
+
+Everything is batched, static-shaped and jit-safe; the data-dependent
+masking of the reference becomes ``jnp.where``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _outer(a, b):
+    return jnp.einsum("...i,...j->...ij", a, b)
+
+
+def _matvec(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v, preferred_element_type=v.dtype)
+
+
+def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
+                            reg: float = 1e-8):
+    """Fixed-point implicit VJP.  All arrays in squeezed (B, n)/(B, m) layout,
+    unscaled (as saved by the layer).  ``rho`` is (B,).
+
+    Returns (dQ, dp, dA, db, dlb, dub); dA/db are None when A is None.
+    """
+    B, n = x.shape
+    dtype = x.dtype
+    rho_col = rho[..., None]
+
+    # Projection derivative: 0 where x + u violates a bound, 1 inside
+    # (solve_box_qp_admm_torch.py:363-365).
+    s_xu = x + u
+    dpi = jnp.where((s_xu > ub) | (s_xu < lb), 0.0, 1.0).astype(dtype)
+
+    dl_dx = dl_dz * dpi
+
+    # Masked reduced KKT system
+    #   [[dpi*Q + diag(rho (1-dpi)), dpi*A^T], [A, 0]] + reg*I
+    # (solve_box_qp_admm_torch.py:378-392): the reference adds
+    # rho*(1-dpi) onto the masked Q's diagonal.
+    eye_n = jnp.eye(n, dtype=dtype)
+    lhs = dpi[..., :, None] * Q + eye_n * (rho_col * (1.0 - dpi))[..., None, :]
+
+    if A is not None:
+        m = A.shape[-2]
+        At = jnp.swapaxes(A, -1, -2)
+        top = jnp.concatenate([lhs, dpi[..., :, None] * At], axis=-1)
+        bot = jnp.concatenate(
+            [A, jnp.zeros((B, m, m), dtype)], axis=-1)
+        lhs = jnp.concatenate([top, bot], axis=-2)
+        rhs = jnp.concatenate([-dl_dx, jnp.zeros((B, m), dtype)], axis=-1)
+    else:
+        m = 0
+        rhs = -dl_dx
+
+    lhs = lhs + reg * jnp.eye(n + m, dtype=dtype)
+    d = jnp.linalg.solve(lhs, rhs[..., None])[..., 0]
+
+    dv = d[..., :n]
+
+    dl_dp = dv
+    dQ_half = 0.5 * _outer(dv, x)
+    dl_dQ = dQ_half + jnp.swapaxes(dQ_half, -1, -2)
+
+    dl_dA = None
+    dl_db = None
+    dnu = None
+    if A is not None:
+        dnu = d[..., n:]
+        dl_db = -dnu
+        dl_dA = _outer(dnu, x) + _outer(nus, dv)
+
+    # Bound gradients via the stationarity residual
+    # (solve_box_qp_admm_torch.py:417-427).
+    kkt = -dl_dz - _matvec(Q, dv)
+    if A is not None:
+        kkt = kkt - _matvec(jnp.swapaxes(A, -1, -2), dnu)
+    div = rho_col * u
+    div = jnp.where(div == 0, 1.0, div)
+    dlam = kkt / div
+
+    dl_dlb = dlam * lams[..., :n]
+    dl_dub = -dlam * lams[..., n:]
+
+    return dl_dQ, dl_dp, dl_dA, dl_db, dl_dlb, dl_dub
+
+
+def make_kkt_jacobian(Q, G, A, lams, slacks):
+    """Full (non-symmetric) KKT Jacobian
+    [[Q, G^T diag(lam), A^T], [G, -diag(s), 0], [A, 0, 0]]
+    (``torch_qp_make_sol_mat``, solve_box_qp_admm_torch.py:472-500).
+    G/A may be None."""
+    B, n = Q.shape[0], Q.shape[-1]
+    dtype = Q.dtype
+    blocks_rows = []
+    n_ineq = 0 if G is None else G.shape[-2]
+    n_eq = 0 if A is None else A.shape[-2]
+
+    row1 = [Q]
+    if G is not None:
+        row1.append(jnp.swapaxes(G, -1, -2) * lams[..., None, :])
+    if A is not None:
+        row1.append(jnp.swapaxes(A, -1, -2))
+    blocks_rows.append(jnp.concatenate(row1, axis=-1))
+
+    if G is not None:
+        row2 = [G, -jax.vmap(jnp.diag)(slacks)]
+        if A is not None:
+            row2.append(jnp.zeros((B, n_ineq, n_eq), dtype))
+        blocks_rows.append(jnp.concatenate(row2, axis=-1))
+
+    if A is not None:
+        row3 = [A]
+        if G is not None:
+            row3.append(jnp.zeros((B, n_eq, n_ineq), dtype))
+        row3.append(jnp.zeros((B, n_eq, n_eq), dtype))
+        blocks_rows.append(jnp.concatenate(row3, axis=-1))
+
+    return jnp.concatenate(blocks_rows, axis=-2)
+
+
+def solve_kkt_backwards(dl_dz, sol_mat, n_eq, n_ineq):
+    """Solve the KKT Jacobian system for the differentials
+    (``torch_solve_qp_backwards``, solve_box_qp_admm_torch.py:503-524)."""
+    B, n = dl_dz.shape
+    dtype = dl_dz.dtype
+    rhs = jnp.concatenate(
+        [-dl_dz, jnp.zeros((B, n_eq + n_ineq), dtype)], axis=-1)
+    d = jnp.linalg.solve(sol_mat, rhs[..., None])[..., 0]
+    dx = d[..., :n]
+    dlam = d[..., n:n + n_ineq] if n_ineq > 0 else None
+    dnu = d[..., n + n_ineq:] if n_eq > 0 else None
+    return dx, dlam, dnu
+
+
+def qp_int_grads(x, lams, nus, dx, dlam, dnu) -> Tuple:
+    """OptNet-style gradient assembly from the differentials
+    (``torch_qp_int_grads``, solve_box_qp_admm_torch.py:527-562)."""
+    dl_dp = dx
+    dQ_half = 0.5 * _outer(dx, x)
+    dl_dQ = dQ_half + jnp.swapaxes(dQ_half, -1, -2)
+
+    dl_dG = None
+    dl_dh = None
+    if dlam is not None:
+        dl_dG = (lams[..., :, None] * _outer(dlam, x)) + _outer(lams, dx)
+        dl_dh = -lams * dlam
+
+    dl_dA = None
+    dl_db = None
+    if dnu is not None:
+        dl_dA = _outer(dnu, x) + _outer(nus, dx)
+        dl_db = -dnu
+
+    return dl_dQ, dl_dp, dl_dA, dl_db, dl_dG, dl_dh
+
+
+def box_qp_grad_kkt(dl_dz, x, lams, nus, Q, A, lb, ub,
+                    slack_clamp: float = 1e-8,
+                    slack_max: float = 1e12):
+    """KKT implicit VJP with the box materialized as ``G = [-I; I]``
+    (``torch_solve_box_qp_grad_kkt``, solve_box_qp_admm_torch.py:435-469).
+
+    Infinite bounds produce infinite slacks in the reference (which only
+    clamps from below); here slacks are additionally clamped from above at
+    ``slack_max`` so the Jacobian stays finite — the corresponding
+    multipliers are ~0 and the resulting bound gradients vanish, which is
+    the correct limit.
+    """
+    B, n = x.shape
+    dtype = x.dtype
+    n_eq = 0 if A is None else A.shape[-2]
+
+    eye = jnp.eye(n, dtype=dtype)
+    G = jnp.concatenate([-eye, eye], axis=0)
+    G = jnp.broadcast_to(G, (B, 2 * n, n))
+    h = jnp.concatenate([-lb, ub], axis=-1)
+    slacks = h - _matvec(G, x)
+    slacks = jnp.clip(slacks, slack_clamp, slack_max)
+    lams_c = jnp.clip(lams, slack_clamp, None)
+
+    sol_mat = make_kkt_jacobian(Q, G, A, lams_c, slacks)
+    dx, dlam, dnu = solve_kkt_backwards(dl_dz, sol_mat, n_eq, 2 * n)
+    dl_dQ, dl_dp, dl_dA, dl_db, _dl_dG, dl_dh = qp_int_grads(
+        x, lams_c, nus, dx, dlam, dnu)
+
+    # Map dl_dh back to the bounds (``torch_qp_int_grads_admm``,
+    # solve_box_qp_admm_torch.py:565-584).
+    dl_dlb = -dl_dh[..., :n]
+    dl_dub = dl_dh[..., n:]
+
+    return dl_dQ, dl_dp, dl_dA, dl_db, dl_dlb, dl_dub

@@ -1,0 +1,229 @@
+"""Batched KKT factorization and solves — the L1 numerics of the framework.
+
+TPU-first design
+----------------
+The reference factorizes the full ``(n_x+n_eq)^2`` KKT matrix with LU and does
+an ``lu_solve`` every ADMM iteration (solve_box_qp_admm_torch.py:206-267).
+Triangular substitution is sequential and maps poorly onto the MXU, and a
+per-iteration ``lu_solve`` with one right-hand side is latency-bound.
+
+Here the KKT operator
+
+    M = [[H, A^T],
+         [A, 0  ]],   H = Q + rho*I  (SPD)
+
+is reduced by a Schur complement on the Cholesky factor of ``H``:
+
+    S    = A H^-1 A^T            (n_eq x n_eq, tiny in practice)
+    x    = P r + W S^-1 b,       P = H^-1 - W S^-1 W^T,  W = H^-1 A^T
+    nu   = S^-1 (W^T r - b)
+
+With ``P`` materialized once (mode ``'inverse'``), every ADMM iteration is a
+single batched GEMV — dense, static-shaped, HBM-bandwidth-bound work that XLA
+tiles straight onto the MXU.  A ``'cholesky'`` mode keeps triangular factors
+and does two batched triangular solves per iteration instead (slightly better
+rounding behavior, slower on TPU); both are jit/vmap/shard_map compatible.
+
+Ref parity: replaces components #1's factorization path and #5 (TorchLU,
+lu_layer.py:5-58) — see ``kkt_solve_cached`` for the cached-factor
+differentiable solve used by unrolled mode.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from jax.lax import linalg as lax_linalg
+
+
+def _eye_like(Q):
+    n = Q.shape[-1]
+    return jnp.eye(n, dtype=Q.dtype)
+
+
+def chol_solve(L, rhs):
+    """Solve ``(L L^T) x = rhs`` for batched lower-triangular ``L``.
+
+    ``rhs`` is ``(..., n)`` or ``(..., n, k)``.
+    """
+    vec = rhs.ndim == L.ndim - 1
+    if vec:
+        rhs = rhs[..., None]
+    y = lax_linalg.triangular_solve(L, rhs, left_side=True, lower=True,
+                                    transpose_a=False)
+    x = lax_linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                    transpose_a=True)
+    return x[..., 0] if vec else x
+
+
+def chol_inverse(L):
+    """Explicit SPD inverse from a lower Cholesky factor.
+
+    ``H^-1 = L^-T L^-1`` computed as a triangular solve against the identity
+    followed by one symmetric GEMM (MXU-friendly).
+    """
+    eye = jnp.broadcast_to(_eye_like(L), L.shape)
+    Linv = lax_linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return jnp.einsum("...ki,...kj->...ij", Linv, Linv,
+                      preferred_element_type=L.dtype)
+
+
+def spd_inverse(H):
+    return chol_inverse(lax_linalg.cholesky(H))
+
+
+@struct.dataclass
+class KKTFactors:
+    """Factorization state of the reduced KKT operator.
+
+    ``P`` is the materialized reduced inverse in 'inverse' mode, else None.
+    ``L`` is chol(H) in 'cholesky' mode, else None.
+    ``W = H^-1 A^T`` and ``Sinv = (A H^-1 A^T)^-1`` are None when n_eq == 0.
+    """
+
+    P: Optional[jax.Array]
+    L: Optional[jax.Array]
+    W: Optional[jax.Array]
+    Sinv: Optional[jax.Array]
+
+
+def factorize_kkt(Q, rho, A, *, mode: str = "inverse") -> KKTFactors:
+    """Factorize ``M = [[Q + rho I, A^T], [A, 0]]`` (batched).
+
+    Q:   (B, n, n) SPD
+    rho: (B,) or scalar — per-element ADMM penalty
+    A:   (B, m, n) or None
+    """
+    rho = jnp.asarray(rho, dtype=Q.dtype)
+    rho_diag = jnp.broadcast_to(rho[..., None, None] if rho.ndim == 1 else rho,
+                                Q.shape[:-2] + (1, 1))
+    H = Q + rho_diag * _eye_like(Q)
+    L = lax_linalg.cholesky(H)
+
+    if A is None:
+        if mode == "inverse":
+            return KKTFactors(P=chol_inverse(L), L=None, W=None, Sinv=None)
+        return KKTFactors(P=None, L=L, W=None, Sinv=None)
+
+    At = jnp.swapaxes(A, -1, -2)
+    W = chol_solve(L, At)                       # (B, n, m)
+    S = jnp.einsum("...ij,...jk->...ik", A, W,
+                   preferred_element_type=Q.dtype)  # (B, m, m)
+    Sinv = spd_inverse(S)
+
+    if mode == "inverse":
+        Hinv = chol_inverse(L)
+        WS = jnp.einsum("...im,...mk->...ik", W, Sinv,
+                        preferred_element_type=Q.dtype)
+        P = Hinv - jnp.einsum("...im,...jm->...ij", WS, W,
+                              preferred_element_type=Q.dtype)
+        return KKTFactors(P=P, L=None, W=W, Sinv=Sinv)
+    return KKTFactors(P=None, L=L, W=W, Sinv=Sinv)
+
+
+def kkt_apply(f: KKTFactors, r, b) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Apply the factored KKT inverse: solve M [x; nu] = [r; b].
+
+    r: (B, n); b: (B, m) or None.  Returns (x, nu).
+    """
+    if f.W is None:
+        if f.P is not None:
+            x = jnp.einsum("...ij,...j->...i", f.P, r,
+                           preferred_element_type=r.dtype)
+        else:
+            x = chol_solve(f.L, r)
+        return x, None
+
+    Wt_r = jnp.einsum("...im,...i->...m", f.W, r,
+                      preferred_element_type=r.dtype)
+    nu = jnp.einsum("...mk,...k->...m", f.Sinv, Wt_r - b,
+                    preferred_element_type=r.dtype)
+    if f.P is not None:
+        # x = P r + W Sinv b
+        Sb = jnp.einsum("...mk,...k->...m", f.Sinv, b,
+                        preferred_element_type=r.dtype)
+        x = (jnp.einsum("...ij,...j->...i", f.P, r,
+                        preferred_element_type=r.dtype)
+             + jnp.einsum("...im,...m->...i", f.W, Sb,
+                          preferred_element_type=r.dtype))
+    else:
+        y = chol_solve(f.L, r)
+        x = y - jnp.einsum("...im,...m->...i", f.W, nu,
+                           preferred_element_type=r.dtype)
+    return x, nu
+
+
+def kkt_step_operator(f: KKTFactors, b):
+    """Precompute ``(P_eff, q)`` so the hot-loop solve is ``x = P_eff r + q``.
+
+    In 'inverse' mode with equality constraints, ``q = W Sinv b`` is constant
+    across iterations, so the per-iteration work collapses to one GEMV.
+    Returns (P_eff, q) or None if not in inverse mode.
+    """
+    if f.P is None:
+        return None
+    if f.W is None or b is None:
+        q = jnp.zeros(f.P.shape[:-1], dtype=f.P.dtype)
+    else:
+        Sb = jnp.einsum("...mk,...k->...m", f.Sinv, b,
+                        preferred_element_type=f.P.dtype)
+        q = jnp.einsum("...im,...m->...i", f.W, Sb,
+                       preferred_element_type=f.P.dtype)
+    return f.P, q
+
+
+# ---------------------------------------------------------------------------
+# Differentiable cached-factor KKT solve (unrolled mode).
+#
+# Equivalent role to the reference's TorchLU/TorchLULayer (lu_layer.py:5-58):
+# the in-loop solve back-propagates through the *cached* factors instead of
+# differentiating the factorization.  For the symmetric KKT operator the VJP
+# is one extra factored solve:
+#     d = M^-1 (-g);  dM = d [x;nu]^T;  drhs = -d
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def kkt_solve_cached(factors: KKTFactors, Q, A, r, b):
+    """Solve M(Q, A) [x; nu] = [r; b] using prefactored ``factors``.
+
+    Gradients flow to Q, A, r, b (via the cached factors); the factors
+    themselves receive zero cotangent.  ``A``/``b`` may be None.
+    """
+    x, nu = kkt_apply(factors, r, b)
+    return x, nu
+
+
+def _kkt_solve_cached_fwd(factors, Q, A, r, b):
+    x, nu = kkt_apply(factors, r, b)
+    return (x, nu), (factors, A, x, nu)
+
+
+def _kkt_solve_cached_bwd(res, g):
+    factors, A, x, nu = res
+    g_x, g_nu = g
+    if g_nu is None and nu is not None:
+        g_nu = jnp.zeros_like(nu)
+    dx, dnu = kkt_apply(factors, -g_x,
+                        None if g_nu is None else -g_nu)
+    # dl/dM = [dx; dnu] [x; nu]^T  (symmetric operator, reference
+    # lu_layer.py:52); restricted to the Q and A blocks:
+    dQ = jnp.einsum("...i,...j->...ij", dx, x)
+    if A is not None:
+        # A appears in both off-diagonal blocks: dA = dnu x^T + nu dx^T
+        dA = (jnp.einsum("...m,...j->...mj", dnu, x)
+              + jnp.einsum("...m,...j->...mj", nu, dx))
+        db = -dnu
+    else:
+        dA = None
+        db = None
+    dr = -dx
+    zero_factors = jax.tree_util.tree_map(jnp.zeros_like, factors)
+    return (zero_factors, dQ, dA, dr, db)
+
+
+kkt_solve_cached.defvjp(_kkt_solve_cached_fwd, _kkt_solve_cached_bwd)

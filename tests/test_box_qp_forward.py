@@ -1,0 +1,126 @@
+"""Forward-solver correctness: KKT-residual oracle + special paths.
+
+Test strategy per SURVEY.md §4: the reference has no test suite; the natural
+oracles are (a) KKT residuals of the returned solution, (b) agreement with an
+independent trusted solver, (c) special-path behavior (no bounds, no equality
+constraints).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lqp_py_tpu import BoxQPConfig, solve_box_qp
+from lqp_py_tpu.utils.generators import (create_qp_data, generate_hard_qp,
+                                         kkt_residuals)
+
+TOL = 1e-6
+
+
+def _cfg(**kw):
+    kw.setdefault("eps_abs", TOL)
+    kw.setdefault("eps_rel", TOL)
+    return BoxQPConfig(**kw)
+
+
+def _check_kkt(data, sol, tol):
+    res = kkt_residuals(data.Q, data.p, data.A, data.b, data.lb, data.ub,
+                        sol.x, sol.lams, sol.nus)
+    assert bool(jnp.all(sol.converged)), (
+        f"not converged: iters={sol.iterations}, "
+        f"primal={sol.primal_residual.max()}, dual={sol.dual_residual.max()}")
+    # ADMM at eps stops on primal/dual residuals; KKT residuals land within
+    # a modest constant factor of eps for these scalings.
+    scale = 1.0 + float(jnp.max(jnp.abs(sol.x)))
+    for name, v in res.items():
+        assert float(jnp.max(v)) < 200 * tol * scale, (name, float(jnp.max(v)))
+
+
+@pytest.mark.parametrize("n_x", [10, 50, 120])
+def test_create_qp_data_kkt(n_x):
+    data = create_qp_data(n_x, n_batch=8, seed=0, dtype=jnp.float64)
+    sol = solve_box_qp(*data, config=_cfg())
+    _check_kkt(data, sol, TOL)
+
+
+@pytest.mark.parametrize("kkt_solver", ["inverse", "cholesky"])
+def test_kkt_solver_modes_agree(kkt_solver):
+    data = create_qp_data(40, n_batch=4, seed=1, dtype=jnp.float64)
+    sol = solve_box_qp(*data, config=_cfg(kkt_solver=kkt_solver))
+    _check_kkt(data, sol, TOL)
+
+
+def test_hard_qp_set():
+    data = generate_hard_qp(64, n_batch=4, prob=0.15, seed=3)
+    sol = solve_box_qp(*data, config=_cfg(max_iters=20000))
+    _check_kkt(data, sol, TOL)
+
+
+def test_no_scaling_no_adaptive():
+    data = create_qp_data(30, n_batch=4, seed=2, dtype=jnp.float64)
+    sol = solve_box_qp(
+        *data, config=_cfg(scale=False, adaptive_rho=False))
+    _check_kkt(data, sol, TOL)
+
+
+def test_no_equality_constraints():
+    data = create_qp_data(25, n_batch=4, seed=4, dtype=jnp.float64)
+    sol = solve_box_qp(data.Q, data.p, None, None, data.lb, data.ub,
+                       config=_cfg())
+    res = kkt_residuals(data.Q, data.p, None, None, data.lb, data.ub,
+                        sol.x, sol.lams, None)
+    assert bool(jnp.all(sol.converged))
+    assert float(jnp.max(res["stationarity"])) < 1e-3
+    assert sol.nus is None
+
+
+def test_no_bounds_single_shot():
+    """No finite bounds -> rho forced to 0, converges immediately to the
+    equality-constrained solution (solve_box_qp_admm_torch.py:156-158)."""
+    data = create_qp_data(20, n_batch=4, seed=5, dtype=jnp.float64)
+    sol = solve_box_qp(data.Q, data.p, data.A, data.b, None, None,
+                       config=_cfg())
+    from lqp_py_tpu import solve_qp_eqcon
+    ref = solve_qp_eqcon(data.Q, data.p, data.A, data.b)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=1e-6, atol=1e-8)
+    assert int(sol.iterations) <= 2
+
+
+def test_partial_infinite_bounds():
+    data = create_qp_data(24, n_batch=4, seed=6, dtype=jnp.float64)
+    lb = data.lb.at[:, ::2].set(-jnp.inf)
+    ub = data.ub.at[:, 1::3].set(jnp.inf)
+    d2 = data._replace(lb=lb, ub=ub)
+    sol = solve_box_qp(*d2, config=_cfg())
+    _check_kkt(d2, sol, TOL)
+
+
+def test_layout_compat_bn1():
+    """Reference layout (B, n, 1) in -> same out."""
+    data = create_qp_data(15, n_batch=3, seed=7, dtype=jnp.float64)
+    sol2 = solve_box_qp(data.Q, data.p, data.A, data.b, data.lb, data.ub,
+                        config=_cfg())
+    from lqp_py_tpu import boxqp
+    x3 = boxqp(data.Q, data.p[..., None], data.A, data.b[..., None],
+               data.lb[..., None], data.ub[..., None], config=_cfg())
+    assert x3.shape == (3, 15, 1)
+    np.testing.assert_allclose(np.asarray(x3[..., 0]), np.asarray(sol2.x),
+                               rtol=1e-10)
+
+
+def test_fixed_rho():
+    data = create_qp_data(20, n_batch=2, seed=8, dtype=jnp.float64)
+    sol = solve_box_qp(*data, config=_cfg(rho=1.0, adaptive_rho=False))
+    _check_kkt(data, sol, TOL)
+
+
+def test_jit_and_vmap_compat():
+    data = create_qp_data(16, n_batch=4, seed=9, dtype=jnp.float64)
+    cfg = _cfg()
+    f = jax.jit(lambda *a: solve_box_qp(*a, config=cfg).x)
+    x_jit = f(*data)
+    x_eager = solve_box_qp(*data, config=cfg).x
+    np.testing.assert_allclose(np.asarray(x_jit), np.asarray(x_eager),
+                               rtol=1e-12)
