@@ -65,7 +65,11 @@ class _LoopState(NamedTuple):
 
 def _prep(Q, p, A, b, lb, ub, config):
     """Canonicalize shapes, compute the unscaled p-norm, scale, pick rho."""
+    # Q is semantically symmetric; symmetrize defensively so the solver's
+    # output — and therefore every gradient (implicit and unrolled) — is a
+    # well-defined function on the symmetric manifold.
     Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
     dtype = Q.dtype
     p = as_vector(p, "p").astype(dtype)
     A = None if A is None else jnp.asarray(A, dtype)
@@ -305,11 +309,15 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
     eps_abs = max(float(config.eps_abs), 1e-12)
     eps_rel = max(float(config.eps_rel), 1e-12)
 
+    # rho is treated as a constant throughout the unrolled graph: the ADMM
+    # fixed point does not depend on rho, and tracking it in the rhs but not
+    # in the cached factor (which kkt_solve_cached attributes wholly to Q)
+    # would leave a spurious non-cancelling gradient through rho(Q).
+    rho_sg = jax.lax.stop_gradient(rho0)
     factors = jax.tree_util.tree_map(
         jax.lax.stop_gradient,
-        lin.factorize_kkt(Qs, jax.lax.stop_gradient(rho0), As,
-                          mode=config.kkt_solver))
-    rho_col = rho0[..., None]
+        lin.factorize_kkt(Qs, rho_sg, As, mode=config.kkt_solver))
+    rho_col = rho_sg[..., None]
 
     zeros = jnp.zeros((B, n), dtype)
 
@@ -324,22 +332,32 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
             u_new = u + (x_new - z_new)
             return x_new, z_new, u_new
 
+        z_last = z
         for _k in range(cs):
             xn, zn, un = one_iter(x, z, u)
+            z_last = jnp.where(done, z_last, z)
             x = jnp.where(done, x, xn)
             z = jnp.where(done, z, zn)
             u = jnp.where(done, u, un)
 
-        # Convergence bookkeeping (non-differentiable).
-        xs, zs, us = (jax.lax.stop_gradient(v) for v in (x, z, u))
+        # Convergence bookkeeping (non-differentiable): full OSQP-style
+        # primal+dual test, matching the while-loop solver.
+        xs, zs, us, zps = (jax.lax.stop_gradient(v)
+                           for v in (x, z, u, z_last))
         primal_error = _inf_norm(D * (xs - zs))
+        dual_error = _inf_norm(D * (rho_sg[..., None] * (zs - zps)))
         x_norm = _inf_norm(D * xs)
         z_norm = _inf_norm(D * zs)
+        y_norm = _inf_norm(rho_sg[..., None] * D * us)
+        Qx = jnp.einsum("bij,bj->bi", jax.lax.stop_gradient(Qs), xs,
+                        preferred_element_type=dtype)
+        Qx_norm = _inf_norm(Qx / D)
         tolp = eps_abs + eps_rel * jnp.maximum(
             jnp.maximum(x_norm, z_norm), _ZERO_CLAMP)
-        # A cheap one-sided test: primal feasibility plus stationarity via
-        # the u-residual trend is enough to freeze finished problems.
-        done = done | jnp.all(primal_error < tolp)
+        told = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(jnp.maximum(y_norm, Qx_norm),
+                        jax.lax.stop_gradient(p_norm)), _ZERO_CLAMP)
+        done = done | jnp.all((primal_error < tolp) & (dual_error < told))
         return (x, z, u, done), None
 
     (x, z, u, _done), _ = jax.lax.scan(

@@ -24,8 +24,9 @@ def solve_qp_eqcon(Q, p, A=None, b=None) -> EqQPSolution:
         return solve_qp_uncon(Q, p)
     pv = as_vector(p, "p")
     bv = as_vector(b, "b")
-    f = lin.factorize_kkt(jnp.asarray(Q), 0.0, jnp.asarray(A),
-                          mode="cholesky")
+    Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    f = lin.factorize_kkt(Q, 0.0, jnp.asarray(A), mode="cholesky")
     x, nus = lin.kkt_apply(f, -pv, bv)
     return EqQPSolution(x=x, nus=nus)
 
@@ -43,8 +44,9 @@ def _fwd(Q, p, A, b):
         raise ValueError("qp_eqcon requires A; use qp_uncon for A=None")
     pv = as_vector(p, "p")
     bv = as_vector(b, "b")
-    f = lin.factorize_kkt(jnp.asarray(Q), 0.0, jnp.asarray(A),
-                          mode="cholesky")
+    Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    f = lin.factorize_kkt(Q, 0.0, jnp.asarray(A), mode="cholesky")
     x, nus = lin.kkt_apply(f, -pv, bv)
     return like_layout(x, p), (f, x, nus, jnp.ndim(p) == 3, jnp.ndim(b) == 3)
 

@@ -1,0 +1,312 @@
+"""Batched general-inequality QP solver (operator splitting).
+
+Solves (batched):
+
+    x* = argmin_x 0.5 x'Qx + p'x   s.t.  Ax = b,  Gx <= h
+
+This is the TPU-native replacement for the reference's SCS baseline
+(scs_qp.py:52-118), which loops over the batch in Python and calls the SCS C
+solver one problem at a time — the exact anti-pattern a batched accelerator
+design avoids (SURVEY.md §2).  Here the whole batch is solved lock-step by an
+ADMM/operator-splitting method with slack consensus:
+
+    x-step:  (Q + rho G'G) x = -p + rho G'(h - w + u)   s.t. Ax = b
+    s     =  h - Gx
+    w     =  max(s + u, 0);     u += s - w
+
+The x-step KKT system is factored once per rho via the Schur-reduced
+Cholesky of ops/linalg.py; in 'inverse' mode each iteration is one batched
+GEMV plus two G matvecs.  Duals: lambda = rho*u >= 0, nu from the KKT solve.
+
+Backward modes (config.backward):
+- 'kkt'   — active-set implicit differentiation (same math as the
+            reference's ADMM KKT backward generalized to arbitrary G).
+- 'conic' — SCS-style implicit differentiation of the homogeneous
+            self-dual projection fixed point (torch_solve_qp_scs_grads,
+            scs_qp.py:121-189).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lqp_py_tpu.config import GenQPConfig
+from lqp_py_tpu.models import box_qp_grad as bgrads
+from lqp_py_tpu.models.conic_grad import conic_qp_grads
+from lqp_py_tpu.ops import linalg as lin
+from lqp_py_tpu.types import QPSolution, as_vector, like_layout
+
+_ZERO_CLAMP = 1e-16
+
+
+def _mv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v, preferred_element_type=v.dtype)
+
+
+def _mtv(M, v):
+    return jnp.einsum("...ij,...i->...j", M, v, preferred_element_type=v.dtype)
+
+
+def _inf_norm(v):
+    return jnp.max(jnp.abs(v), axis=-1)
+
+
+def _row_equilibrate(M, rhs):
+    norms = jnp.max(jnp.abs(M), axis=-1)
+    fill = jnp.maximum(jnp.mean(norms, axis=-1, keepdims=True), 1e-6)
+    norms = jnp.where(norms <= 0, jnp.broadcast_to(fill, norms.shape), norms)
+    E = 1.0 / norms
+    return E[..., :, None] * M, E * rhs, E
+
+
+class _GenState(NamedTuple):
+    it: jax.Array
+    x: jax.Array
+    w: jax.Array
+    u: jax.Array
+    nu: Optional[jax.Array]
+    rho: jax.Array
+    factors: lin.KKTFactors
+    primal_error: jax.Array
+    dual_error: jax.Array
+    tolp_norm: jax.Array
+    told_norm: jax.Array
+    is_optimal: jax.Array
+
+
+def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
+                 config: GenQPConfig = GenQPConfig()) -> QPSolution:
+    """Forward solve.  G/h required (use the eqcon/uncon solvers otherwise).
+
+    Shapes: Q (B,n,n); p (B,n[,1]); A (B,m,n); b (B,m[,1]); G (B,k,n);
+    h (B,k[,1]).
+    """
+    if G is None:
+        raise ValueError("solve_qp_gen requires G/h; use solve_qp_eqcon")
+    Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    dtype = Q.dtype
+    p = as_vector(p, "p").astype(dtype)
+    G = jnp.asarray(G, dtype)
+    h = as_vector(h, "h").astype(dtype)
+    A = None if A is None else jnp.asarray(A, dtype)
+    b = None if b is None else as_vector(b, "b").astype(dtype)
+    B, n = p.shape
+    k = G.shape[-2]
+
+    p_norm = _inf_norm(p)
+
+    # --- scaling: Jacobi D from Q columns, row equilibration of A and G.
+    if config.scale:
+        Q_norm = jnp.max(jnp.abs(Q), axis=-2)
+        fill = jnp.maximum(jnp.mean(Q_norm, axis=-1, keepdims=True), 1e-6)
+        Q_norm = jnp.where(Q_norm <= 0,
+                           jnp.broadcast_to(fill, Q_norm.shape), Q_norm)
+        D = jnp.sqrt(1.0 / Q_norm)
+        Qs = D[..., :, None] * Q * D[..., None, :]
+        ps = D * p
+        Gs, hs, EG = _row_equilibrate(G * D[..., None, :], h)
+        if A is not None:
+            As, bs, EA = _row_equilibrate(A * D[..., None, :], b)
+        else:
+            As, bs, EA = None, None, None
+    else:
+        D = jnp.ones((B, n), dtype)
+        EG = jnp.ones((B, k), dtype)
+        EA = None if A is None else jnp.ones_like(b)
+        Qs, ps, Gs, hs, As, bs = Q, p, G, h, A, b
+
+    # --- rho selection.
+    if config.rho is None:
+        q_fro = jnp.sqrt(jnp.sum(Qs * Qs, axis=(-1, -2)))
+        rho0 = jnp.clip(q_fro / jnp.sqrt(jnp.asarray(n, dtype)),
+                        config.rho_min, config.rho_max)
+    else:
+        rho0 = jnp.full((B,), config.rho, dtype)
+
+    GtG = jnp.einsum("...ki,...kj->...ij", Gs, Gs,
+                     preferred_element_type=dtype)
+    sigma = jnp.asarray(config.sigma, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    def factorize(rho):
+        H = Qs + rho[..., None, None] * GtG + sigma * eye
+        return lin.factorize_kkt(H, 0.0, As, mode="inverse")
+
+    factors0 = factorize(rho0)
+
+    eps_abs = max(float(config.eps_abs), 1e-12)
+    eps_rel = max(float(config.eps_rel), 1e-12)
+    cs = max(int(config.check_solved), 1)
+    adaptive_interval = max(round(config.adaptive_rho_iter / cs) * cs, 1)
+    max_iters = int(config.max_iters)
+
+    zeros_k = jnp.zeros((B, k), dtype)
+    init = _GenState(
+        it=jnp.zeros((), jnp.int32),
+        x=jnp.zeros((B, n), dtype), w=zeros_k, u=zeros_k,
+        nu=None if As is None else jnp.zeros((B, As.shape[-2]), dtype),
+        rho=rho0, factors=factors0,
+        primal_error=jnp.full((B,), jnp.inf, dtype),
+        dual_error=jnp.full((B,), jnp.inf, dtype),
+        tolp_norm=jnp.ones((B,), dtype),
+        told_norm=jnp.ones((B,), dtype),
+        is_optimal=jnp.zeros((B,), bool),
+    )
+
+    def maybe_update_rho(st: _GenState) -> _GenState:
+        num = jnp.maximum(st.primal_error / st.tolp_norm, _ZERO_CLAMP)
+        den = jnp.maximum(st.dual_error / st.told_norm, _ZERO_CLAMP)
+        ratio = jnp.sqrt(num / den)
+        tol = jnp.asarray(config.adaptive_rho_tol, dtype)
+        outside = jnp.any(ratio > tol) | jnp.any(ratio < 1.0 / tol)
+        window = ((st.it >= adaptive_interval)
+                  & (st.it < config.adaptive_rho_max_iter)
+                  & ((st.it % adaptive_interval) < cs))
+        pred = window & outside & ~jnp.all(st.is_optimal)
+
+        def upd(_):
+            rho_new = jnp.clip(st.rho * ratio, config.rho_min, config.rho_max)
+            # rho changes rescale the dual estimate u = lambda / rho.
+            u_new = st.u * (st.rho / rho_new)[..., None]
+            return rho_new, factorize(rho_new), u_new
+
+        def noop(_):
+            return st.rho, st.factors, st.u
+
+        rho, f, u = jax.lax.cond(pred, upd, noop, None)
+        return st._replace(rho=rho, factors=f, u=u)
+
+    def body(st: _GenState) -> _GenState:
+        if config.adaptive_rho:
+            st = maybe_update_rho(st)
+        n_inner = jnp.minimum(jnp.where(st.it == 0, 1, cs),
+                              max_iters - st.it)
+
+        def inner(_, s_):
+            x, w, u, nu, w_prev = s_
+            rhs = -ps + _mtv(Gs, st.rho[..., None] * (hs - w + u))
+            x, nu = lin.kkt_apply(st.factors, rhs, bs)
+            s = hs - _mv(Gs, x)
+            w_prev = w
+            w = jnp.maximum(s + u, 0.0)
+            u = u + (s - w)
+            return (x, w, u, nu, w_prev)
+
+        x, w, u, nu, w_prev = jax.lax.fori_loop(
+            0, n_inner, inner, (st.x, st.w, st.u, st.nu, st.w))
+
+        s = hs - _mv(Gs, x)
+        # Residuals in unscaled units: constraint-space via EG, x-space
+        # dual via D.
+        primal_error = _inf_norm((s - w) / EG)
+        dual_vec = st.rho[..., None] * _mtv(Gs, w - w_prev)
+        dual_error = _inf_norm(dual_vec * D)
+
+        s_norm = _inf_norm(s / EG)
+        w_norm = _inf_norm(w / EG)
+        tolp_norm = jnp.maximum(jnp.maximum(s_norm, w_norm), _ZERO_CLAMP)
+        Qx = _mv(Qs, x)
+        lam_vec = st.rho[..., None] * u
+        told_norm = jnp.maximum(
+            jnp.maximum(jnp.maximum(_inf_norm(_mtv(Gs, lam_vec) * D),
+                                    _inf_norm(Qx * D)), p_norm),
+            _ZERO_CLAMP)
+        tol_primal = eps_abs + eps_rel * tolp_norm
+        tol_dual = eps_abs + eps_rel * told_norm
+        is_optimal = (primal_error < tol_primal) & (dual_error < tol_dual)
+
+        if config.verbose:
+            jax.debug.print("genqp iter={it} primal={pe:.3e} dual={de:.3e}",
+                            it=st.it + n_inner, pe=jnp.max(primal_error),
+                            de=jnp.max(dual_error))
+
+        return st._replace(it=st.it + n_inner, x=x, w=w, u=u, nu=nu,
+                           primal_error=primal_error, dual_error=dual_error,
+                           tolp_norm=tolp_norm, told_norm=told_norm,
+                           is_optimal=is_optimal)
+
+    def cond(st: _GenState):
+        return (st.it < max_iters) & ~jnp.all(st.is_optimal)
+
+    st = jax.lax.while_loop(cond, body, init)
+
+    # --- unscale.  At the fixed point the x-step stationarity reads
+    # Qx + p + A'nu + G'[rho(w - s - u)] = 0 with s -> w, so the inequality
+    # multiplier is lambda = -rho u  (u <= 0 on active rows).
+    x = D * st.x
+    lams = jnp.maximum(-st.rho[..., None] * st.u * EG, 0.0)
+    slacks = jnp.maximum(st.w / EG, 0.0)
+    nus = None if st.nu is None else st.nu * EA
+
+    return QPSolution(
+        x=x, lams=lams, slacks=slacks, nus=nus,
+        iterations=st.it,
+        primal_residual=st.primal_error, dual_residual=st.dual_error,
+        converged=st.is_optimal)
+
+
+def gen_qp_grad_kkt(dl_dz, x, lams, slacks, nus, Q, A, G):
+    """Active-set KKT implicit VJP for general G (clamped multipliers and
+    slacks, as the reference's KKT backward does for the box case,
+    solve_box_qp_admm_torch.py:435-469)."""
+    n_eq = 0 if A is None else A.shape[-2]
+    k = G.shape[-2]
+    lams_c = jnp.clip(lams, 1e-8, None)
+    slacks_c = jnp.clip(slacks, 1e-8, 1e12)
+    sol_mat = bgrads.make_kkt_jacobian(Q, G, A, lams_c, slacks_c)
+    dx, dlam, dnu = bgrads.solve_kkt_backwards(dl_dz, sol_mat, n_eq, k)
+    return bgrads.qp_int_grads(x, lams_c, nus, dx, dlam, dnu)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _genqp_implicit(config, Q, p, A, b, G, h):
+    return solve_qp_gen(Q, p, A, b, G, h, config).x
+
+
+def _genqp_fwd(config, Q, p, A, b, G, h):
+    sol = solve_qp_gen(Q, p, A, b, G, h, config)
+    return sol.x, (sol.x, sol.lams, sol.slacks, sol.nus, Q, A, G)
+
+
+def _genqp_bwd(config, res, dl_dz):
+    x, lams, slacks, nus, Q, A, G = res
+    if config.backward == "conic":
+        dQ, dp, dA, db, dG, dh = conic_qp_grads(
+            dl_dz, x=x, lams=lams, slacks=slacks, Q=Q, A=A, G=G)
+    elif config.backward == "kkt":
+        dQ, dp, dA, db, dG, dh = gen_qp_grad_kkt(
+            dl_dz, x=x, lams=lams, slacks=slacks, nus=nus, Q=Q, A=A, G=G)
+    else:
+        raise ValueError(f"unknown backward mode {config.backward!r}")
+    if A is None:
+        dA, db = None, None
+    return dQ, dp, dA, db, dG, dh
+
+
+_genqp_implicit.defvjp(_genqp_fwd, _genqp_bwd)
+
+
+def qp_gen(Q, p, A=None, b=None, G=None, h=None,
+           config: GenQPConfig = GenQPConfig()):
+    """Differentiable general-QP layer (``SolveScsQP`` capability,
+    scs_qp.py:10-49, batched TPU-native).  Returns x in caller layout."""
+    pv = as_vector(p, "p")
+    bv = None if b is None else as_vector(b, "b")
+    hv = as_vector(h, "h")
+    x = _genqp_implicit(config, Q, pv, A, bv, G, hv)
+    return like_layout(x, p)
+
+
+class GenQPLayer:
+    """Callable layer holding a GenQPConfig."""
+
+    def __init__(self, config: GenQPConfig = GenQPConfig()):
+        self.config = config
+
+    def __call__(self, Q, p, A=None, b=None, G=None, h=None):
+        return qp_gen(Q, p, A, b, G, h, config=self.config)

@@ -1,0 +1,357 @@
+"""Batched primal-dual interior-point QP solver (OptNet-style baseline).
+
+Solves (batched):
+
+    x* = argmin_x 0.5 x'Qx + p'x   s.t.  Ax = b,  Gx <= h
+
+Functional parity with the reference's from-scratch Mehrotra
+predictor-corrector solver (``torch_solve_qp_optnet`` + helpers,
+optnet.py:57-407): same pre-factorization (Cholesky of Q, block-Cholesky
+Schur complement S built from A Q^-1 A^T / G Q^-1 G^T), same affine +
+centering-corrector steps and 0.999 ratio-test step lengths, same
+KKT-based backward reusing the cached factors.
+
+TPU-first differences:
+- the iteration loop is an on-device ``lax.while_loop`` (the reference's
+  Python loop + ``.item()`` stop is a host sync per iteration);
+- lower-triangular block factors with batched ``triangular_solve`` —
+  everything static-shaped, jit/vmap/shard-compatible;
+- the residual/stopping block runs for *all* problems — the reference only
+  checks convergence when equality constraints exist (bug: the whole IP
+  update sits under ``if any_eq:``, optnet.py:111-186).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.lax import linalg as lax_linalg
+
+from lqp_py_tpu.config import OptNetConfig
+from lqp_py_tpu.models.eqcon import qp_eqcon, solve_qp_eqcon
+from lqp_py_tpu.ops.linalg import chol_solve
+from lqp_py_tpu.types import QPSolution, as_vector, like_layout
+
+
+def _mv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v, preferred_element_type=v.dtype)
+
+
+def _mtv(M, v):
+    return jnp.einsum("...ij,...i->...j", M, v, preferred_element_type=v.dtype)
+
+
+class IPFactors(NamedTuple):
+    """Cached factors: chol(Q) and the rho-independent Schur blocks.
+
+    S = [[A Q^-1 A^T, A Q^-1 G^T], [G Q^-1 A^T, G Q^-1 G^T + D^-1]] is
+    factored as the block-lower-Cholesky [[L11, 0], [L21, L22(d)]]; only
+    ``L22 = chol(Rt + diag(1/d))`` depends on the interior-point scaling d
+    (reference optnet_pre_factor_kkt / optnet_factor_kkt,
+    optnet.py:202-296).
+    """
+    L_Q: jax.Array
+    L11: Optional[jax.Array]     # chol(A Q^-1 A^T), None if no equalities
+    L21: Optional[jax.Array]     # G Q^-1 A^T L11^-T
+    Rt: jax.Array                # G Q^-1 G^T - L21 L21^T
+
+
+def ip_pre_factor(Q, A, G) -> IPFactors:
+    L_Q = lax_linalg.cholesky(Q)
+    Gt = jnp.swapaxes(G, -1, -2)
+    invQ_Gt = chol_solve(L_Q, Gt)                      # (B, n, ni)
+    R = jnp.einsum("...ij,...jk->...ik", G, invQ_Gt,
+                   preferred_element_type=Q.dtype)     # (B, ni, ni)
+    if A is None:
+        return IPFactors(L_Q=L_Q, L11=None, L21=None, Rt=R)
+    At = jnp.swapaxes(A, -1, -2)
+    invQ_At = chol_solve(L_Q, At)                      # (B, n, m)
+    AQA = jnp.einsum("...ij,...jk->...ik", A, invQ_At,
+                     preferred_element_type=Q.dtype)
+    L11 = lax_linalg.cholesky(AQA)
+    GQA = jnp.einsum("...ij,...jk->...ik", G, invQ_At,
+                     preferred_element_type=Q.dtype)   # (B, ni, m)
+    # L21 = G Q^-1 A^T L11^-T  (right-solve against the transposed factor)
+    L21 = lax_linalg.triangular_solve(L11, GQA, left_side=False,
+                                      lower=True, transpose_a=True)
+    Rt = R - jnp.einsum("...im,...jm->...ij", L21, L21,
+                        preferred_element_type=Q.dtype)
+    return IPFactors(L_Q=L_Q, L11=L11, L21=L21, Rt=Rt)
+
+
+def ip_factor_L22(f: IPFactors, d, int_reg):
+    ni = f.Rt.shape[-1]
+    eye = jnp.eye(ni, dtype=f.Rt.dtype)
+    return lax_linalg.cholesky(f.Rt + eye * (1.0 / d)[..., None, :]
+                               + int_reg * eye)
+
+
+def _schur_solve(f: IPFactors, L22, H_eq, H_in):
+    """Solve S w = [H_eq; H_in] through the block factors."""
+    if f.L11 is None:
+        w_in = chol_solve(L22, H_in)
+        return None, w_in
+    y1 = lax_linalg.triangular_solve(f.L11, H_eq[..., None], left_side=True,
+                                     lower=True)[..., 0]
+    rhs2 = H_in - _mv(f.L21, y1)
+    y2 = lax_linalg.triangular_solve(L22, rhs2[..., None], left_side=True,
+                                     lower=True)[..., 0]
+    w_in = lax_linalg.triangular_solve(L22, y2[..., None], left_side=True,
+                                       lower=True, transpose_a=True)[..., 0]
+    rhs1 = y1 - _mtv(f.L21, w_in)
+    w_eq = lax_linalg.triangular_solve(f.L11, rhs1[..., None], left_side=True,
+                                       lower=True, transpose_a=True)[..., 0]
+    return w_eq, w_in
+
+
+def ip_solve_kkt(f: IPFactors, L22, d, G, A, rx, rs, rz, ry):
+    """One KKT solve of the condensed interior-point system
+    (``torch_qp_int_solve_kkt``, optnet.py:299-339)."""
+    invQ_rx = chol_solve(f.L_Q, rx)
+    H_in = _mv(G, invQ_rx) + rs / d - rz
+    H_eq = None if A is None else _mv(A, invQ_rx) - ry
+    w_eq, w_in = _schur_solve(f, L22, H_eq, H_in)
+    w_eq_n, w_in_n = (None if w_eq is None else -w_eq), -w_in
+
+    g1 = -rx - _mtv(G, w_in_n)
+    if A is not None:
+        g1 = g1 - _mtv(A, w_eq_n)
+    dx = chol_solve(f.L_Q, g1)
+    ds = (-rs - w_in_n) / d
+    dz = w_in_n
+    dy = w_eq_n
+    return dx, ds, dz, dy
+
+
+def _ratio_step(v, dv):
+    """Largest step alpha with v + alpha dv >= 0 (``torch_qp_int_get_step``,
+    optnet.py:342-346): min over positive entries of -v/dv."""
+    a = -v / dv
+    a = jnp.where(a > 0, a, jnp.inf)
+    return jnp.min(a, axis=-1)
+
+
+class _IPState(NamedTuple):
+    it: jax.Array
+    x: jax.Array
+    s: jax.Array
+    z: jax.Array
+    y: Optional[jax.Array]
+    error: jax.Array          # () reduced residual
+    primal: jax.Array         # (B,)
+    dual: jax.Array           # (B,)
+
+
+def solve_qp_optnet(Q, p, A=None, b=None, G=None, h=None,
+                    config: OptNetConfig = OptNetConfig()) -> QPSolution:
+    """Forward interior-point solve.  Returns a QPSolution; when G is None
+    this reduces to the direct equality-constrained solve
+    (optnet.py:89-91)."""
+    sol, _ = _solve_qp_optnet_full(Q, p, A, b, G, h, config)
+    return sol
+
+
+def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
+    Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    dtype = Q.dtype
+    p = as_vector(p, "p").astype(dtype)
+    B, n = p.shape
+
+    if G is None:
+        eq = solve_qp_eqcon(Q, p, A, b)
+        sol = QPSolution(
+            x=eq.x, lams=jnp.zeros((B, 0), dtype),
+            slacks=jnp.zeros((B, 0), dtype), nus=eq.nus,
+            iterations=jnp.zeros((), jnp.int32),
+            primal_residual=jnp.zeros((B,), dtype),
+            dual_residual=jnp.zeros((B,), dtype),
+            converged=jnp.ones((B,), bool))
+        return sol, None
+
+    G = jnp.asarray(G, dtype)
+    h = as_vector(h, "h").astype(dtype)
+    A = None if A is None else jnp.asarray(A, dtype)
+    b = None if b is None else as_vector(b, "b").astype(dtype)
+    ni = G.shape[-2]
+
+    f = ip_pre_factor(Q, A, G)
+    int_reg = float(config.int_reg)
+    tol = float(config.tol)
+
+    # --- init (optnet_init, optnet.py:244-278): one KKT solve at d = 1,
+    # then shift s and z to be >= 1.
+    d0 = jnp.ones((B, ni), dtype)
+    L22 = ip_factor_L22(f, d0, int_reg)
+    ry0 = None if b is None else -b
+    x0, s0, z0, y0 = ip_solve_kkt(
+        f, L22, d0, G, A,
+        rx=p, rs=jnp.zeros((B, ni), dtype), rz=-h, ry=ry0)
+    s_shift = jnp.maximum(1.0 - jnp.min(s0, axis=-1), 0.0)
+    z_shift = jnp.maximum(1.0 - jnp.min(z0, axis=-1), 0.0)
+    s0 = s0 + s_shift[..., None]
+    z0 = z0 + z_shift[..., None]
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    init = _IPState(it=jnp.zeros((), jnp.int32), x=x0, s=s0, z=z0, y=y0,
+                    error=inf, primal=jnp.full((B,), jnp.inf, dtype),
+                    dual=jnp.full((B,), jnp.inf, dtype))
+
+    def residuals(st: _IPState):
+        rx = _mtv(G, st.z) + _mv(Q, st.x) + p
+        rs = st.z
+        rz = _mv(G, st.x) + st.s - h
+        ry = None
+        if A is not None:
+            rx = rx + _mtv(A, st.y)
+            ry = _mv(A, st.x) - b
+        return rx, rs, rz, ry
+
+    def body(st: _IPState) -> _IPState:
+        rx, rs, rz, ry = residuals(st)
+
+        # --- duality-gap stopping metric (optnet.py:116-125).
+        mu = jnp.sum(st.s * st.z, axis=-1) / ni
+        prim = jnp.linalg.norm(rz, axis=-1)
+        if ry is not None:
+            prim = prim + jnp.linalg.norm(ry, axis=-1)
+        dual = jnp.linalg.norm(rx, axis=-1)
+        resid = (prim + dual) / 2.0 + mu
+
+        d = st.z / st.s
+        L22 = ip_factor_L22(f, d, int_reg)
+
+        # --- affine (predictor) step.
+        dx_a, ds_a, dz_a, dy_a = ip_solve_kkt(f, L22, d, G, A, rx, rs, rz, ry)
+
+        alpha = jnp.minimum(jnp.minimum(_ratio_step(st.z, dz_a),
+                                        _ratio_step(st.s, ds_a)), 1.0)
+        alpha = (0.999 * alpha)[..., None]
+
+        s_aff = st.s + alpha * ds_a
+        z_aff = st.z + alpha * dz_a
+        sig = (jnp.sum(s_aff * z_aff, axis=-1)
+               / jnp.sum(st.s * st.z, axis=-1)) ** 3
+
+        # --- centering-corrector step (optnet.py:160-165).
+        rs_cor = ((-mu * sig)[..., None] + ds_a * dz_a) / st.s
+        zero_x = jnp.zeros_like(rx)
+        zero_z = jnp.zeros_like(rz)
+        zero_y = None if ry is None else jnp.zeros_like(ry)
+        dx_c, ds_c, dz_c, dy_c = ip_solve_kkt(
+            f, L22, d, G, A, zero_x, rs_cor, zero_z, zero_y)
+
+        dx, ds, dz = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c
+        dy = None if dy_a is None else dy_a + dy_c
+
+        alpha = jnp.minimum(jnp.minimum(_ratio_step(st.z, dz),
+                                        _ratio_step(st.s, ds)), 1.0)
+        alpha = (0.999 * alpha)[..., None]
+
+        x = st.x + alpha * dx
+        s = st.s + alpha * ds
+        z = st.z + alpha * dz
+        y = None if st.y is None else st.y + alpha * dy
+
+        if config.reduce == "mean":
+            error = jnp.mean(resid)
+        else:
+            error = jnp.max(resid)
+
+        if config.verbose:
+            jax.debug.print("ip iter={it} gap={e:.3e}", it=st.it, e=error)
+
+        return _IPState(it=st.it + 1, x=x, s=s, z=z, y=y,
+                        error=error, primal=prim, dual=dual)
+
+    def cond(st: _IPState):
+        return (st.it < config.max_iters) & (st.error >= tol)
+
+    st = jax.lax.while_loop(cond, body, init)
+
+    lams = jnp.maximum(st.z, 1e-8)
+    slacks = jnp.maximum(st.s, 1e-8)
+    sol = QPSolution(
+        x=st.x, lams=lams, slacks=slacks, nus=st.y,
+        iterations=st.it,
+        primal_residual=st.primal, dual_residual=st.dual,
+        converged=jnp.broadcast_to(st.error < tol, (B,)))
+    return sol, f
+
+
+def optnet_grads(dl_dz, x, lams, slacks, nus, Q, A, G, f: IPFactors,
+                 int_reg: float):
+    """KKT backward reusing the cached factors (``torch_optnet_grads``,
+    optnet.py:349-407)."""
+    d = lams / slacks
+    L22 = ip_factor_L22(f, d, int_reg)
+    B = x.shape[0]
+    ni = G.shape[-2]
+    dtype = x.dtype
+    zero_in = jnp.zeros((B, ni), dtype)
+    ry = None if A is None else jnp.zeros((B, A.shape[-2]), dtype)
+    dx, _ds, dlam_t, dnu = ip_solve_kkt(
+        f, L22, d, G, A, rx=dl_dz, rs=zero_in, rz=zero_in, ry=ry)
+    # dz from the condensed solve is D(lams) dlam (Amos & Kolter eq. 8).
+    dlam = dlam_t / lams
+
+    def outer(a, b):
+        return jnp.einsum("...i,...j->...ij", a, b)
+
+    dl_dp = dx
+    dQ_half = 0.5 * outer(dx, x)
+    dl_dQ = dQ_half + jnp.swapaxes(dQ_half, -1, -2)
+    dl_dG = lams[..., :, None] * outer(dlam, x) + outer(lams, dx)
+    dl_dh = -lams * dlam
+    dl_dA = None
+    dl_db = None
+    if A is not None:
+        dl_dA = outer(dnu, x) + outer(nus, dx)
+        dl_db = -dnu
+    return dl_dQ, dl_dp, dl_dA, dl_db, dl_dG, dl_dh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _optnet_implicit(config, Q, p, A, b, G, h):
+    return _solve_qp_optnet_full(Q, p, A, b, G, h, config)[0].x
+
+
+def _optnet_fwd(config, Q, p, A, b, G, h):
+    sol, f = _solve_qp_optnet_full(Q, p, A, b, G, h, config)
+    return sol.x, (sol.x, sol.lams, sol.slacks, sol.nus, Q, A, G, f)
+
+
+def _optnet_bwd(config, res, dl_dz):
+    x, lams, slacks, nus, Q, A, G, f = res
+    dQ, dp, dA, db, dG, dh = optnet_grads(
+        dl_dz, x, lams, slacks, nus, Q, A, G, f, float(config.int_reg))
+    return dQ, dp, dA, db, dG, dh
+
+
+_optnet_implicit.defvjp(_optnet_fwd, _optnet_bwd)
+
+
+def qp_optnet(Q, p, A=None, b=None, G=None, h=None,
+              config: OptNetConfig = OptNetConfig()):
+    """Differentiable interior-point QP layer (``OptNet``/``OptNetLayer``
+    analogue, optnet.py:8-54).  Returns x in the caller's layout."""
+    if G is None:
+        return qp_eqcon(Q, p, A, b)
+    pv = as_vector(p, "p")
+    bv = None if b is None else as_vector(b, "b")
+    hv = as_vector(h, "h")
+    x = _optnet_implicit(config, Q, pv, A, bv, G, hv)
+    return like_layout(x, p)
+
+
+class OptNetLayer:
+    """Callable layer holding an OptNetConfig (``OptNet`` analogue)."""
+
+    def __init__(self, config: OptNetConfig = OptNetConfig()):
+        self.config = config
+
+    def __call__(self, Q, p, A=None, b=None, G=None, h=None):
+        return qp_optnet(Q, p, A, b, G, h, config=self.config)

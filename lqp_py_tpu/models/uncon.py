@@ -18,7 +18,9 @@ from lqp_py_tpu.types import EqQPSolution, as_vector, like_layout
 def solve_qp_uncon(Q, p) -> EqQPSolution:
     """Non-differentiable functional solve.  p: (B, n) or (B, n, 1)."""
     pv = as_vector(p, "p")
-    L = lax_linalg.cholesky(jnp.asarray(Q))
+    Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    L = lax_linalg.cholesky(Q)
     x = chol_solve(L, -pv)
     return EqQPSolution(x=x, nus=None)
 
@@ -31,7 +33,9 @@ def qp_uncon(Q, p):
 
 def _fwd(Q, p):
     pv = as_vector(p, "p")
-    L = lax_linalg.cholesky(jnp.asarray(Q))
+    Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    L = lax_linalg.cholesky(Q)
     x = chol_solve(L, -pv)
     return like_layout(x, p), (L, x, jnp.ndim(p) == 3)
 
