@@ -36,6 +36,18 @@ def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
     """Fixed-point implicit VJP.  All arrays in squeezed (B, n)/(B, m) layout,
     unscaled (as saved by the layer).  ``rho`` is (B,).
 
+    The reference solves the row-masked non-symmetric system
+    ``[[dpi*Q + diag(rho (1-dpi)), dpi*A^T], [A, 0]]`` with a batched LU
+    (solve_box_qp_admm_torch.py:378-393).  On clamped coordinates that
+    system forces ``dv_i = 0`` (the row reduces to ``rho dv_i = 0``), so it
+    is equivalent to the row-AND-column masked *symmetric* system
+
+        [[dpi Q dpi + diag(rho (1-dpi)), dpi A^T], [A dpi, 0]]
+
+    which is SPD-quasi-definite and solved here through the Schur-reduced
+    Cholesky path (ops/linalg.py) — ~3x cheaper than LU on TPU and the
+    single hot spot of the backward pass.
+
     Returns (dQ, dp, dA, db, dlb, dub); dA/db are None when A is None.
     """
     B, n = x.shape
@@ -49,29 +61,20 @@ def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
 
     dl_dx = dl_dz * dpi
 
-    # Masked reduced KKT system
-    #   [[dpi*Q + diag(rho (1-dpi)), dpi*A^T], [A, 0]] + reg*I
-    # (solve_box_qp_admm_torch.py:378-392): the reference adds
-    # rho*(1-dpi) onto the masked Q's diagonal.
     eye_n = jnp.eye(n, dtype=dtype)
-    lhs = dpi[..., :, None] * Q + eye_n * (rho_col * (1.0 - dpi))[..., None, :]
+    H = (dpi[..., :, None] * Q * dpi[..., None, :]
+         + eye_n * (rho_col * (1.0 - dpi) + reg)[..., None, :])
+    A_eff = None if A is None else A * dpi[..., None, :]
 
+    from lqp_py_tpu.ops import linalg as lin
+    f = lin.factorize_kkt(H, 0.0, A_eff, mode="cholesky", s_reg=reg)
+    dv, dnu_ = lin.kkt_apply(
+        f, -dl_dx,
+        None if A is None else jnp.zeros((B, A.shape[-2]), dtype))
     if A is not None:
-        m = A.shape[-2]
-        At = jnp.swapaxes(A, -1, -2)
-        top = jnp.concatenate([lhs, dpi[..., :, None] * At], axis=-1)
-        bot = jnp.concatenate(
-            [A, jnp.zeros((B, m, m), dtype)], axis=-1)
-        lhs = jnp.concatenate([top, bot], axis=-2)
-        rhs = jnp.concatenate([-dl_dx, jnp.zeros((B, m), dtype)], axis=-1)
+        d = jnp.concatenate([dv, dnu_], axis=-1)
     else:
-        m = 0
-        rhs = -dl_dx
-
-    lhs = lhs + reg * jnp.eye(n + m, dtype=dtype)
-    d = jnp.linalg.solve(lhs, rhs[..., None])[..., 0]
-
-    dv = d[..., :n]
+        d = dv
 
     dl_dp = dv
     dQ_half = 0.5 * _outer(dv, x)

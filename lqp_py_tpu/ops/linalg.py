@@ -91,12 +91,15 @@ class KKTFactors:
     Sinv: Optional[jax.Array]
 
 
-def factorize_kkt(Q, rho, A, *, mode: str = "inverse") -> KKTFactors:
+def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
+                  s_reg: float = 0.0) -> KKTFactors:
     """Factorize ``M = [[Q + rho I, A^T], [A, 0]]`` (batched).
 
     Q:   (B, n, n) SPD
     rho: (B,) or scalar — per-element ADMM penalty
     A:   (B, m, n) or None
+    s_reg: optional Tikhonov regularizer added to the Schur complement
+      (used by the backward pass where masked A rows can lose rank).
     """
     rho = jnp.asarray(rho, dtype=Q.dtype)
     rho_diag = jnp.broadcast_to(rho[..., None, None] if rho.ndim == 1 else rho,
@@ -113,6 +116,8 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse") -> KKTFactors:
     W = chol_solve(L, At)                       # (B, n, m)
     S = jnp.einsum("...ij,...jk->...ik", A, W,
                    preferred_element_type=Q.dtype)  # (B, m, m)
+    if s_reg:
+        S = S + s_reg * jnp.eye(S.shape[-1], dtype=S.dtype)
     Sinv = spd_inverse(S)
 
     if mode == "inverse":
