@@ -26,6 +26,15 @@ import jax.numpy as jnp
 from lqp_py_tpu import BoxQPConfig, boxqp, solve_box_qp
 from lqp_py_tpu.utils.generators import create_qp_data
 
+
+def _force(tree):
+    """Block until fully executed.  ``block_until_ready`` alone can be lazy
+    on experimental remote platforms, so also read one element back."""
+    jax.block_until_ready(tree)
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    _ = float(jnp.ravel(jnp.asarray(leaf))[0])
+    return tree
+
 # Reference ADMM-FP totals (s) read off the published charts (BASELINE.md).
 REF_TOTAL_S = {10: 0.025, 50: 0.027, 100: 0.068, 250: 0.26, 500: 0.75,
                1000: 2.6}
@@ -52,10 +61,10 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
     # Compile (excluded — steady-state serving numbers; the reference's
     # torch eager path has no compile step to amortize).
     t0 = time.perf_counter()
-    sol = jax.block_until_ready(fwd(Q, p))
+    sol = _force(fwd(Q, p))
     compile_fwd_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(fwd_bwd(Q, p))
+    _force(fwd_bwd(Q, p))
     compile_total_s = time.perf_counter() - t0
 
     conv = bool(jnp.all(sol.converged))
@@ -64,10 +73,10 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
     fwd_times, tot_times = [], []
     for _ in range(n_sims):
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(Q, p))
+        _force(fwd(Q, p))
         fwd_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd_bwd(Q, p))
+        _force(fwd_bwd(Q, p))
         tot_times.append(time.perf_counter() - t0)
 
     return {

@@ -1,0 +1,148 @@
+"""Experiment 1: forward+backward runtime sweep across problem sizes.
+
+Replicates the reference benchmark protocol (experiments/experiment_1.py:
+batch=128, tol 1e-5, median over n_sims of fwd+bwd wall-clock) across the
+framework's solver family:
+
+- ADMM fixed-point / KKT / unrolled backward (the three reference modes)
+- OptNet-style interior point (general inequalities)
+- GenQP operator splitting (the SCS-capability solver)
+- native C++ CPU ADMM (the sequential baseline, like the reference's SCS)
+
+Writes exp1_results.json (+ a bar chart if matplotlib is importable).
+
+Run:  python experiments/experiment_1.py --sizes 10 50 100 250 500 1000
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lqp_py_tpu import BoxQPConfig, GenQPConfig, OptNetConfig, boxqp
+from lqp_py_tpu.models.genqp import qp_gen
+from lqp_py_tpu.models.optnet import qp_optnet
+from lqp_py_tpu.utils.generators import create_qp_data
+
+
+def _force(tree):
+    jax.block_until_ready(tree)
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    _ = float(jnp.ravel(jnp.asarray(leaf))[0])
+
+
+def time_fn(f, *args, n_sims):
+    _force(f(*args))  # compile
+    ts = []
+    for _ in range(n_sims):
+        t0 = time.perf_counter()
+        _force(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def grad_fn(layer_call):
+    def loss(Q, p):
+        return jnp.sum(layer_call(Q, p))
+    return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+
+
+def run_size(n_x, n_batch, tol, n_sims, include_ip):
+    data = create_qp_data(n_x, n_batch, seed=0, dtype=jnp.float32)
+    Q, p, A, b, lb, ub = data
+    out = {}
+
+    modes = {
+        "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol,
+                               backward="fixed_point"),
+        "ADMM_KKT": BoxQPConfig(eps_abs=tol, eps_rel=tol, backward="kkt"),
+        "ADMM_Unroll": BoxQPConfig(eps_abs=tol, eps_rel=tol, unroll=True,
+                                   unroll_iters=150, adaptive_rho=False),
+    }
+    for name, cfg in modes.items():
+        f = grad_fn(lambda Q, p, cfg=cfg: boxqp(Q, p, A, b, lb, ub,
+                                                config=cfg))
+        out[name] = time_fn(f, Q, p, n_sims=n_sims)
+
+    G, h = data.with_G_h()
+    gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol)
+    f = grad_fn(lambda Q, p: qp_gen(Q, p, A, b, G, h, config=gen_cfg))
+    out["GenQP"] = time_fn(f, Q, p, n_sims=n_sims)
+
+    if include_ip:
+        ip_cfg = OptNetConfig(tol=tol, max_iters=30)
+        f = grad_fn(lambda Q, p: qp_optnet(Q, p, A, b, G, h, config=ip_cfg))
+        out["OptNet_IP"] = time_fn(f, Q, p, n_sims=n_sims)
+
+    # Native CPU baseline (forward only; sequential like the reference SCS).
+    from lqp_py_tpu.cpu import native
+    if native.available():
+        Qn, pn, An, bn, lbn, ubn = (np.asarray(v, np.float64) for v in data)
+        t0 = time.perf_counter()
+        native.solve_box_qp_native(Qn, pn, An, bn, lbn, ubn,
+                                   eps_abs=tol, eps_rel=tol)
+        out["Native_CPU_fwd"] = time.perf_counter() - t0
+
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*",
+                    default=[10, 50, 100, 250, 500])
+    ap.add_argument("--n-batch", type=int, default=128)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--n-sims", type=int, default=5)
+    ap.add_argument("--max-ip-size", type=int, default=250,
+                    help="skip the O(n_ineq^3)-per-iter IP above this size")
+    args = ap.parse_args()
+
+    results = {}
+    for n_x in args.sizes:
+        r = run_size(n_x, args.n_batch, args.tol, args.n_sims,
+                     include_ip=n_x <= args.max_ip_size)
+        results[n_x] = r
+        print(f"n_x={n_x}: " + "  ".join(f"{k}={v:.4f}s"
+                                         for k, v in r.items()))
+
+    with open("exp1_results.json", "w") as f:
+        json.dump({"device": str(jax.devices()[0]),
+                   "n_batch": args.n_batch, "tol": args.tol,
+                   "results": results}, f, indent=2)
+    print("wrote exp1_results.json")
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        sizes = sorted(results)
+        names = sorted({k for r in results.values() for k in r})
+        fig, ax = plt.subplots(figsize=(8, 4))
+        width = 0.8 / len(names)
+        for i, name in enumerate(names):
+            ys = [results[s].get(name, float("nan")) for s in sizes]
+            ax.bar([j + i * width for j in range(len(sizes))], ys,
+                   width, label=name)
+        ax.set_yscale("log")
+        ax.set_xticks([j + 0.4 for j in range(len(sizes))])
+        ax.set_xticklabels([str(s) for s in sizes])
+        ax.set_xlabel("n_x")
+        ax.set_ylabel("median fwd+bwd time (s)")
+        ax.legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig("exp1_times.png", dpi=120)
+        print("wrote exp1_times.png")
+    except Exception as e:  # plotting is best-effort
+        print(f"(no chart: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,12 @@ class BoxQPConfig:
     #: Diagonal regularizer added to the masked KKT system in the
     #: fixed-point backward (reference uses 1e-8).
     backward_reg: float = 1e-8
+    #: Use the Pallas fused ADMM-step kernel (inverse mode only): fuses the
+    #: GEMV + projection + dual update and skips HBM reads entirely for
+    #: batch elements that have already converged (per-element early exit,
+    #: which lock-step XLA batching cannot do).  Runs in interpreter mode
+    #: on CPU.
+    use_pallas_step: bool = False
 
     def resolved_check_interval(self, n_x: int) -> int:
         cs = self.check_solved

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from lqp_py_tpu.config import BoxQPConfig
 from lqp_py_tpu.ops import linalg as lin
 from lqp_py_tpu.ops import scaling as sca
+from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import BoxQPSolution, as_vector
 
 _ZERO_CLAMP = 1e-16
@@ -119,6 +120,7 @@ def _admm_iteration(P, q, p, rho, z, u, lb, ub):
     return x, z_new, u_new, r
 
 
+@solver_precision
 def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
                  config: BoxQPConfig = BoxQPConfig()) -> BoxQPSolution:
     """Forward box-QP solve.  Not differentiable by itself — use the layer
@@ -137,12 +139,30 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     if mode not in ("inverse", "cholesky"):
         raise ValueError(f"unknown kkt_solver {mode!r}")
 
+    # Pallas fused-step path: requires the reduced inverse and pads the
+    # variable dimension to the TPU lane width once (padded coordinates are
+    # inert: zero rows/cols of P, p=q=0, bounds +/-inf keep them at 0).
+    use_pallas = bool(config.use_pallas_step) and mode == "inverse"
+    n_pad = (-(-n // 128) * 128) if use_pallas else n
+    pad = n_pad - n
+    if pad:
+        ps_p = jnp.pad(ps, ((0, 0), (0, pad)))
+        lbs_p = jnp.pad(lbs, ((0, 0), (0, pad)),
+                        constant_values=-jnp.inf)
+        ubs_p = jnp.pad(ubs, ((0, 0), (0, pad)),
+                        constant_values=jnp.inf)
+    else:
+        ps_p, lbs_p, ubs_p = ps, lbs, ubs
+
     def factorize(rho):
         f = lin.factorize_kkt(Qs, rho, As, mode=mode)
         if f.P is not None:
             _, q = lin.kkt_step_operator(f, bs)
+            if pad:
+                f = f.replace(P=jnp.pad(f.P, ((0, 0), (0, pad), (0, pad))))
+                q = jnp.pad(q, ((0, 0), (0, pad)))
         else:
-            q = jnp.zeros((B, n), dtype)
+            q = jnp.zeros((B, n_pad), dtype)
         return f, q
 
     factors0, q0 = factorize(rho0)
@@ -154,10 +174,10 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
         x, _ = lin.kkt_apply(st_factors, r, bs)
         return x
 
-    zeros = jnp.zeros((B, n), dtype)
+    zeros = jnp.zeros((B, n_pad), dtype)
     init = _LoopState(
         it=jnp.zeros((), jnp.int32),
-        x=zeros, z=zeros, u=zeros, last_r=-ps,
+        x=zeros, z=zeros, u=zeros, last_r=-ps_p,
         rho=rho0, factors=factors0, q=q0,
         primal_error=jnp.full((B,), jnp.inf, dtype),
         dual_error=jnp.full((B,), jnp.inf, dtype),
@@ -205,27 +225,51 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
         n_inner = jnp.where(st.it == 0, 1, cs)
         n_inner = jnp.minimum(n_inner, max_iters - st.it)
 
-        def inner(_, s):
-            x, z, u, z_prev, _r = s
-            r = -ps + st.rho[..., None] * (z - u)
-            x = x_update(st.factors, st.q, r)
-            z_prev = z
-            z = jnp.clip(x + u, lbs, ubs)
-            u = u + (x - z)
-            return (x, z, u, z_prev, r)
+        if use_pallas:
+            from lqp_py_tpu.ops.pallas.admm_step import fused_admm_step
 
+            def inner(_, s):
+                x, z, u, z_prev, r = s
+                z_prev = z
+                xn, zn, un, _rn = fused_admm_step(
+                    st.factors.P, r, x, z, u, ps_p, st.q, lbs_p, ubs_p,
+                    st.rho, st.is_optimal)
+                rn = -ps_p + st.rho[..., None] * (zn - un)
+                return (xn, zn, un, z_prev, rn)
+        else:
+            def inner(_, s):
+                x, z, u, z_prev, _r = s
+                r = -ps_p + st.rho[..., None] * (z - u)
+                x = x_update(st.factors, st.q, r)
+                z_prev = z
+                z = jnp.clip(x + u, lbs_p, ubs_p)
+                u = u + (x - z)
+                return (x, z, u, z_prev, r)
+
+        r0 = -ps_p + st.rho[..., None] * (st.z - st.u)
         x, z, u, z_prev, last_r = jax.lax.fori_loop(
-            0, n_inner, inner, (st.x, st.z, st.u, st.z, st.last_r))
+            0, n_inner, inner, (st.x, st.z, st.u, st.z, r0))
+        if use_pallas:
+            # last_r is the r for the *next* iteration there; the r that
+            # produced the current x is recomputable from (z_prev, u_prev),
+            # but u_prev is gone — recompute exactly as the padded GEMV rhs:
+            last_r = -ps_p + st.rho[..., None] * (z_prev - (u - (x - z)))
+
+        if pad:
+            xs_c, zs_c, us_c, zp_c = (v[:, :n] for v in (x, z, u, z_prev))
+        else:
+            xs_c, zs_c, us_c, zp_c = x, z, u, z_prev
 
         # --- OSQP-style stopping test on unscaled residuals
         # (solve_box_qp_admm_torch.py:285-311).
-        s_dual = st.rho[..., None] * (z - z_prev)
-        primal_error = _inf_norm(D * (x - z))
+        s_dual = st.rho[..., None] * (zs_c - zp_c)
+        primal_error = _inf_norm(D * (xs_c - zs_c))
         dual_error = _inf_norm(D * s_dual)
-        x_norm = _inf_norm(D * x)
-        z_norm = _inf_norm(D * z)
-        y_norm = _inf_norm(st.rho[..., None] * D * u)
-        Qx = jnp.einsum("bij,bj->bi", Qs, x, preferred_element_type=dtype)
+        x_norm = _inf_norm(D * xs_c)
+        z_norm = _inf_norm(D * zs_c)
+        y_norm = _inf_norm(st.rho[..., None] * D * us_c)
+        Qx = jnp.einsum("bij,bj->bi", Qs, xs_c,
+                        preferred_element_type=dtype)
         Qx_norm = _inf_norm(Qx / D)
 
         tolp_norm = jnp.maximum(jnp.maximum(x_norm, z_norm), _ZERO_CLAMP)
@@ -257,6 +301,9 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     st = jax.lax.while_loop(cond, outer_body, init)
 
     # --- unscale and extract duals (solve_box_qp_admm_torch.py:316-327).
+    if pad:
+        st = st._replace(x=st.x[:, :n], z=st.z[:, :n], u=st.u[:, :n],
+                         last_r=st.last_r[:, :n])
     x = D * st.x
     z = D * st.z
     u = st.u / D
@@ -265,7 +312,12 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
                             jnp.maximum(lams, 0.0)], axis=-1)
     nus = None
     if As is not None:
-        _, nu_scaled = lin.kkt_apply(st.factors, st.last_r, bs)
+        # nu = Sinv (W^T r - b); computed directly from the small Schur
+        # factors (st.factors.P may be lane-padded in the pallas path).
+        Wt_r = jnp.einsum("bim,bi->bm", st.factors.W, st.last_r,
+                          preferred_element_type=dtype)
+        nu_scaled = jnp.einsum("bmk,bk->bm", st.factors.Sinv, Wt_r - bs,
+                               preferred_element_type=dtype)
         nus = nu_scaled * E
 
     return BoxQPSolution(
@@ -277,6 +329,7 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     )
 
 
+@solver_precision
 def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
                           config: BoxQPConfig = BoxQPConfig()):
     """Differentiable-by-unrolling box-QP solve (reference ``unroll=True``,

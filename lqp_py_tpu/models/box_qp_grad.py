@@ -22,6 +22,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from lqp_py_tpu.ops.precision import solver_precision
+
 
 def _outer(a, b):
     return jnp.einsum("...i,...j->...ij", a, b)
@@ -31,6 +33,7 @@ def _matvec(M, v):
     return jnp.einsum("...ij,...j->...i", M, v, preferred_element_type=v.dtype)
 
 
+@solver_precision
 def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
                             reg: float = 1e-8):
     """Fixed-point implicit VJP.  All arrays in squeezed (B, n)/(B, m) layout,
@@ -173,6 +176,7 @@ def qp_int_grads(x, lams, nus, dx, dlam, dnu) -> Tuple:
     return dl_dQ, dl_dp, dl_dA, dl_db, dl_dG, dl_dh
 
 
+@solver_precision
 def box_qp_grad_kkt(dl_dz, x, lams, nus, Q, A, lb, ub,
                     slack_clamp: float = 1e-8,
                     slack_max: float = 1e12):

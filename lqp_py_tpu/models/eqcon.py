@@ -13,10 +13,12 @@ import jax
 import jax.numpy as jnp
 
 from lqp_py_tpu.ops import linalg as lin
+from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import EqQPSolution, as_vector, like_layout
 from lqp_py_tpu.models.uncon import qp_uncon, solve_qp_uncon
 
 
+@solver_precision
 def solve_qp_eqcon(Q, p, A=None, b=None) -> EqQPSolution:
     """Non-differentiable functional solve (falls back to the unconstrained
     solver when A is None, matching solve_qp_eqcon_torch.py:31-33)."""
@@ -39,6 +41,7 @@ def qp_eqcon(Q, p, A, b):
     return like_layout(solve_qp_eqcon(Q, p, A, b).x, p)
 
 
+@solver_precision
 def _fwd(Q, p, A, b):
     if A is None:
         raise ValueError("qp_eqcon requires A; use qp_uncon for A=None")
@@ -51,6 +54,7 @@ def _fwd(Q, p, A, b):
     return like_layout(x, p), (f, x, nus, jnp.ndim(p) == 3, jnp.ndim(b) == 3)
 
 
+@solver_precision
 def _bwd(res, g):
     f, x, nus, p3, b3 = res
     dl_dz = g[..., 0] if p3 else g

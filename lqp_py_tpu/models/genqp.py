@@ -38,6 +38,7 @@ from lqp_py_tpu.config import GenQPConfig
 from lqp_py_tpu.models import box_qp_grad as bgrads
 from lqp_py_tpu.models.conic_grad import conic_qp_grads
 from lqp_py_tpu.ops import linalg as lin
+from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import QPSolution, as_vector, like_layout
 
 _ZERO_CLAMP = 1e-16
@@ -78,6 +79,7 @@ class _GenState(NamedTuple):
     is_optimal: jax.Array
 
 
+@solver_precision
 def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
                  config: GenQPConfig = GenQPConfig()) -> QPSolution:
     """Forward solve.  G/h required (use the eqcon/uncon solvers otherwise).
@@ -273,6 +275,7 @@ def _genqp_fwd(config, Q, p, A, b, G, h):
     return sol.x, (sol.x, sol.lams, sol.slacks, sol.nus, Q, A, G)
 
 
+@solver_precision
 def _genqp_bwd(config, res, dl_dz):
     x, lams, slacks, nus, Q, A, G = res
     if config.backward == "conic":

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from lqp_py_tpu.config import BoxQPConfig
 from lqp_py_tpu.models import box_qp_grad as grads
 from lqp_py_tpu.models.box_qp import solve_box_qp, solve_box_qp_unrolled
+from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import as_vector, like_layout
 
 
@@ -42,6 +43,7 @@ def _boxqp_fwd(config, Q, p, A, b, lb, ub):
     return sol.x, res
 
 
+@solver_precision
 def _boxqp_bwd(config, res, dl_dz):
     x, u, lams, nus, Q, A, lb, ub, rho, (lb_none, ub_none) = res
     B, n = x.shape

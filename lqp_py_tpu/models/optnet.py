@@ -33,6 +33,7 @@ from jax.lax import linalg as lax_linalg
 from lqp_py_tpu.config import OptNetConfig
 from lqp_py_tpu.models.eqcon import qp_eqcon, solve_qp_eqcon
 from lqp_py_tpu.ops.linalg import chol_solve
+from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import QPSolution, as_vector, like_layout
 
 
@@ -154,6 +155,7 @@ def solve_qp_optnet(Q, p, A=None, b=None, G=None, h=None,
     return sol
 
 
+@solver_precision
 def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
     Q = jnp.asarray(Q)
     Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
@@ -324,6 +326,7 @@ def _optnet_fwd(config, Q, p, A, b, G, h):
     return sol.x, (sol.x, sol.lams, sol.slacks, sol.nus, Q, A, G, f)
 
 
+@solver_precision
 def _optnet_bwd(config, res, dl_dz):
     x, lams, slacks, nus, Q, A, G, f = res
     dQ, dp, dA, db, dG, dh = optnet_grads(

@@ -12,9 +12,11 @@ import jax.numpy as jnp
 from jax.lax import linalg as lax_linalg
 
 from lqp_py_tpu.ops.linalg import chol_solve
+from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import EqQPSolution, as_vector, like_layout
 
 
+@solver_precision
 def solve_qp_uncon(Q, p) -> EqQPSolution:
     """Non-differentiable functional solve.  p: (B, n) or (B, n, 1)."""
     pv = as_vector(p, "p")
@@ -31,6 +33,7 @@ def qp_uncon(Q, p):
     return like_layout(solve_qp_uncon(Q, p).x, p)
 
 
+@solver_precision
 def _fwd(Q, p):
     pv = as_vector(p, "p")
     Q = jnp.asarray(Q)
@@ -40,6 +43,7 @@ def _fwd(Q, p):
     return like_layout(x, p), (L, x, jnp.ndim(p) == 3)
 
 
+@solver_precision
 def _bwd(res, g):
     L, x, was_3d = res
     dl_dz = g[..., 0] if was_3d else g

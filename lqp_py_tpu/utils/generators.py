@@ -94,8 +94,16 @@ def kkt_residuals(Q, p, A, b, lb, ub, x, lams, nus):
     """Solver-independent optimality oracle: stationarity, feasibility and
     complementarity residuals of a box-QP solution (infinity norms).
 
-    lams is (B, 2n) = [lambda_lb; lambda_ub] (both >= 0).
+    lams is (B, 2n) = [lambda_lb; lambda_ub] (both >= 0).  Matmuls run at
+    "highest" precision — on TPU the default bf16 passes would corrupt the
+    oracle itself.
     """
+    import jax as _jax
+    with _jax.default_matmul_precision("highest"):
+        return _kkt_residuals_impl(Q, p, A, b, lb, ub, x, lams, nus)
+
+
+def _kkt_residuals_impl(Q, p, A, b, lb, ub, x, lams, nus):
     n = x.shape[-1]
     lam_lb = lams[..., :n]
     lam_ub = lams[..., n:]
