@@ -122,11 +122,18 @@ def _admm_iteration(P, q, p, rho, z, u, lb, ub):
 
 @solver_precision
 def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
-                 config: BoxQPConfig = BoxQPConfig()) -> BoxQPSolution:
+                 config: BoxQPConfig = BoxQPConfig(),
+                 warm_start=None) -> BoxQPSolution:
     """Forward box-QP solve.  Not differentiable by itself — use the layer
     API (``lqp_py_tpu.models.layers``) for implicit/unrolled gradients.
 
     Shapes: Q (B,n,n); p/lb/ub (B,n) or (B,n,1); A (B,m,n); b (B,m)/(B,m,1).
+
+    ``warm_start``: optional previous ``BoxQPSolution`` (or any object with
+    ``x``, ``z``, ``u`` in unscaled (B, n) layout) used to initialize the
+    iterates — a solve/update/re-solve workflow the reference's BoxQPTH
+    class hints at but never implements (it always cold-starts from zeros,
+    solve_box_qp_admm_torch.py:221-223).
     """
     sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config)
     Qs, ps, As, bs, lbs, ubs, D, E = sp
@@ -175,9 +182,19 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
         return x
 
     zeros = jnp.zeros((B, n_pad), dtype)
+    if warm_start is not None:
+        # Map the previous (unscaled) iterates into the current scaling.
+        def _w(v, scale_mul):
+            v = as_vector(v, "warm_start").astype(dtype) * scale_mul
+            return jnp.pad(v, ((0, 0), (0, pad))) if pad else v
+        x_ws = _w(warm_start.x, 1.0 / D)
+        z_ws = _w(warm_start.z, 1.0 / D)
+        u_ws = _w(warm_start.u, D)
+    else:
+        x_ws = z_ws = u_ws = zeros
     init = _LoopState(
         it=jnp.zeros((), jnp.int32),
-        x=zeros, z=zeros, u=zeros, last_r=-ps_p,
+        x=x_ws, z=z_ws, u=u_ws, last_r=-ps_p,
         rho=rho0, factors=factors0, q=q0,
         primal_error=jnp.full((B,), jnp.inf, dtype),
         dual_error=jnp.full((B,), jnp.inf, dtype),

@@ -105,18 +105,26 @@ class BoxQPLayer:
 
 class BoxQP:
     """Stateful solve/update wrapper (``BoxQPTH`` analogue,
-    solve_box_qp_admm_torch.py:70-105)."""
+    solve_box_qp_admm_torch.py:70-105).
+
+    With ``warm_start=True`` each ``solve()`` reuses the previous solution
+    as the starting iterate — the solve/update/re-solve workflow the
+    reference class hints at but never implements."""
 
     def __init__(self, Q, p, A=None, b=None, lb=None, ub=None,
-                 control: BoxQPConfig = BoxQPConfig()):
+                 control: BoxQPConfig = BoxQPConfig(),
+                 warm_start: bool = False):
         self.Q, self.p, self.A, self.b = Q, p, A, b
         self.lb, self.ub = lb, ub
         self.control = control
+        self.warm_start = warm_start
         self.sol = None
 
     def solve(self):
+        ws = self.sol if self.warm_start else None
         self.sol = solve_box_qp(self.Q, self.p, self.A, self.b,
-                                self.lb, self.ub, self.control)
+                                self.lb, self.ub, self.control,
+                                warm_start=ws)
         return like_layout(self.sol.x, self.p)
 
     def update(self, Q=None, p=None, A=None, b=None, lb=None, ub=None,

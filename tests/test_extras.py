@@ -1,0 +1,76 @@
+"""Warm starting, stateful wrapper, flax modules, profiling utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lqp_py_tpu import BoxQPConfig, solve_box_qp
+from lqp_py_tpu.models.layers import BoxQP
+from lqp_py_tpu.utils.generators import create_qp_data
+from lqp_py_tpu.utils.profiling import solve_stats, timed
+
+CFG = BoxQPConfig(eps_abs=1e-7, eps_rel=1e-7)
+
+
+def test_warm_start_reduces_iterations():
+    data = create_qp_data(40, 4, seed=0, dtype=jnp.float64)
+    cold = solve_box_qp(*data, config=CFG)
+    # Perturb p slightly and re-solve warm vs cold.
+    p2 = data.p * 1.01
+    cold2 = solve_box_qp(data.Q, p2, data.A, data.b, data.lb, data.ub,
+                         config=CFG)
+    warm2 = solve_box_qp(data.Q, p2, data.A, data.b, data.lb, data.ub,
+                         config=CFG, warm_start=cold)
+    assert bool(jnp.all(warm2.converged))
+    np.testing.assert_allclose(np.asarray(warm2.x), np.asarray(cold2.x),
+                               rtol=1e-4, atol=1e-6)
+    assert int(warm2.iterations) < int(cold2.iterations)
+
+
+def test_stateful_wrapper_warm_start():
+    data = create_qp_data(30, 2, seed=1, dtype=jnp.float64)
+    qp = BoxQP(*data, control=CFG, warm_start=True)
+    x1 = qp.solve()
+    it1 = int(qp.sol.iterations)
+    qp.update(p=data.p * 1.001)
+    x2 = qp.solve()
+    it2 = int(qp.sol.iterations)
+    assert it2 < it1
+    assert not np.allclose(np.asarray(x1), np.asarray(x2))
+
+
+def test_flax_modules():
+    import flax.linen as nn  # noqa: F401
+    from lqp_py_tpu.nn import BoxQPModule, LinearBoxQP
+
+    data = create_qp_data(12, 3, seed=2, dtype=jnp.float64)
+    mod = BoxQPModule(config=CFG)
+    x = mod.apply({}, *data)
+    ref = solve_box_qp(*data, config=CFG)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-10)
+
+    lin = LinearBoxQP(n_x=12, config=CFG)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (3, 5), jnp.float64)
+    params = lin.init(jax.random.PRNGKey(1), feats, data.Q, data.A, data.b,
+                      data.lb, data.ub)
+
+    def loss(params):
+        out = lin.apply(params, feats, data.Q, data.A, data.b,
+                        data.lb, data.ub)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in flat)
+    assert any(float(jnp.max(jnp.abs(v))) > 0 for v in flat)
+
+
+def test_profiling_utils():
+    data = create_qp_data(10, 2, seed=3, dtype=jnp.float64)
+    sol = solve_box_qp(*data, config=CFG)
+    stats = solve_stats(sol)
+    assert stats["converged_frac"] == 1.0
+    f = jax.jit(lambda p: solve_box_qp(data.Q, p, data.A, data.b,
+                                       data.lb, data.ub, CFG).x)
+    t = timed(f, data.p, n=2)
+    assert t["median_s"] > 0
