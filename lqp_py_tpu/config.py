@@ -20,8 +20,12 @@ from typing import Optional
 
 def _check_interval_default(n_x: int) -> int:
     # Reference heuristic: max(round(sqrt(n_x)/10)*10, 1)
-    # (solve_box_qp_admm_torch.py:139)
-    return max(round(math.sqrt(n_x) / 10) * 10, 1)
+    # (solve_box_qp_admm_torch.py:139), capped at 10.  The reference's
+    # uncapped value (30 at n_x=1000) was tuned for CPU, where each check
+    # costs a host sync; on TPU the check is traced on-device (one extra
+    # GEMV + reductions), so checking every <=10 iterations avoids running
+    # up to 29 unneeded iterations past convergence.
+    return max(min(round(math.sqrt(n_x) / 10) * 10, 10), 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +52,13 @@ class BoxQPConfig:
     adaptive_rho_iter: int = 100
     adaptive_rho_max_iter: int = 1000
     adaptive_rho_threshold: float = 1e-5
+    #: Over-relaxation parameter (x_hat = alpha*x + (1-alpha)*z before the
+    #: z/u updates).  The classical ADMM accelerator (OSQP defaults to 1.6);
+    #: the reference has no such knob (always 1.0) but converges to the
+    #: same fixed point — the relaxed iteration typically needs ~30% fewer
+    #: iterations at tight tolerances.  Set 1.0 for step-for-step parity
+    #: with the reference iteration.
+    alpha: float = 1.6
     verbose: bool = False
     scale: bool = True
     #: Scaling blend factor; ``None`` -> per-element auto from D quantiles.

@@ -111,12 +111,14 @@ def _prep(Q, p, A, b, lb, ub, config):
     return sp, p_norm, rho, (B, n, dtype)
 
 
-def _admm_iteration(P, q, p, rho, z, u, lb, ub):
-    """One scaled ADMM iteration.  Returns (x, z_new, u_new, r)."""
+def _admm_iteration(P, q, p, rho, z, u, lb, ub, alpha=1.0):
+    """One scaled (over-relaxed) ADMM iteration.
+    Returns (x, z_new, u_new, r)."""
     r = -p + rho[..., None] * (z - u)
     x = jnp.einsum("bij,bj->bi", P, r, preferred_element_type=r.dtype) + q
-    z_new = jnp.clip(x + u, lb, ub)
-    u_new = u + (x - z_new)
+    xh = alpha * x + (1.0 - alpha) * z if alpha != 1.0 else x
+    z_new = jnp.clip(xh + u, lb, ub)
+    u_new = u + (xh - z_new)
     return x, z_new, u_new, r
 
 
@@ -173,6 +175,16 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
         return f, q
 
     factors0, q0 = factorize(rho0)
+
+    # Over-relaxation: with no finite bounds anywhere, the projection is the
+    # identity and rho is forced to 0 — the plain iteration converges in one
+    # step (solve_box_qp_admm_torch.py:156-158) while a relaxed one would
+    # only approach it geometrically, so alpha collapses to 1 there.
+    has_alpha = float(config.alpha) != 1.0
+    any_finite = (jnp.max(lbs) > -jnp.inf) | (jnp.min(ubs) < jnp.inf)
+    alpha_t = (jnp.where(any_finite, jnp.asarray(config.alpha, dtype),
+                         jnp.ones((), dtype))
+               if has_alpha else jnp.ones((), dtype))
 
     def x_update(st_factors, q, r):
         if mode == "inverse":
@@ -243,6 +255,9 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
         n_inner = jnp.minimum(n_inner, max_iters - st.it)
 
         if use_pallas:
+            # The fused kernel bakes alpha in statically; the no-finite-bound
+            # alpha->1 collapse does not apply inside it (documented: the
+            # pallas path assumes a genuinely box-constrained problem).
             from lqp_py_tpu.ops.pallas.admm_step import fused_admm_step
 
             def inner(_, s):
@@ -250,7 +265,7 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
                 z_prev = z
                 xn, zn, un, _rn = fused_admm_step(
                     st.factors.P, r, x, z, u, ps_p, st.q, lbs_p, ubs_p,
-                    st.rho, st.is_optimal)
+                    st.rho, st.is_optimal, alpha=float(config.alpha))
                 rn = -ps_p + st.rho[..., None] * (zn - un)
                 return (xn, zn, un, z_prev, rn)
         else:
@@ -259,8 +274,9 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
                 r = -ps_p + st.rho[..., None] * (z - u)
                 x = x_update(st.factors, st.q, r)
                 z_prev = z
-                z = jnp.clip(x + u, lbs_p, ubs_p)
-                u = u + (x - z)
+                xh = alpha_t * x + (1.0 - alpha_t) * z if has_alpha else x
+                z = jnp.clip(xh + u, lbs_p, ubs_p)
+                u = u + (xh - z)
                 return (x, z, u, z_prev, r)
 
         r0 = -ps_p + st.rho[..., None] * (st.z - st.u)
@@ -269,8 +285,11 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
         if use_pallas:
             # last_r is the r for the *next* iteration there; the r that
             # produced the current x is recomputable from (z_prev, u_prev),
-            # but u_prev is gone — recompute exactly as the padded GEMV rhs:
-            last_r = -ps_p + st.rho[..., None] * (z_prev - (u - (x - z)))
+            # but u_prev is gone — reconstruct it by inverting the (relaxed)
+            # dual update u = u_prev + (alpha x + (1-alpha) z_prev - z):
+            a = float(config.alpha)
+            u_prev = u - (a * x + (1.0 - a) * z_prev - z)
+            last_r = -ps_p + st.rho[..., None] * (z_prev - u_prev)
 
         if pad:
             xs_c, zs_c, us_c, zp_c = (v[:, :n] for v in (x, z, u, z_prev))
@@ -370,6 +389,10 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
     sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config)
     Qs, ps, As, bs, lbs, ubs, D, E = sp
 
+    has_alpha = float(config.alpha) != 1.0
+    any_finite = (jnp.max(lbs) > -jnp.inf) | (jnp.min(ubs) < jnp.inf)
+    alpha_t = jnp.where(any_finite, jnp.asarray(config.alpha, dtype),
+                        jnp.ones((), dtype))
     cs = config.resolved_check_interval(n)
     n_iters = config.unroll_iters
     if n_iters is None:
@@ -398,8 +421,12 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
         def one_iter(x, z, u):
             r = -ps + rho_col * (z - u)
             x_new, _ = lin.kkt_solve_cached(factors, Qs, As, r, bs)
-            z_new = jnp.clip(x_new + u, lbs, ubs)
-            u_new = u + (x_new - z_new)
+            if has_alpha:
+                xh = alpha_t * x_new + (1.0 - alpha_t) * z
+            else:
+                xh = x_new
+            z_new = jnp.clip(xh + u, lbs, ubs)
+            u_new = u + (xh - z_new)
             return x_new, z_new, u_new
 
         z_last = z

@@ -40,7 +40,7 @@ DEFAULT_TILE = 512
 
 def _kernel(flags_ref, rho_ref,            # scalar prefetch (SMEM)
             P_ref, r_ref, rt_ref, x_ref, z_ref, u_ref, p_ref, q_ref,
-            lb_ref, ub_ref, x_out, z_out, u_out, r_out):
+            lb_ref, ub_ref, x_out, z_out, u_out, r_out, *, alpha=1.0):
     # Vector operands arrive as (1, 1, tile) blocks of (B, 1, n) arrays —
     # TPU block shapes must keep the last two dims (8, 128)-aligned or
     # equal to the array dims, so the unit middle axis carries the batch
@@ -56,8 +56,9 @@ def _kernel(flags_ref, rho_ref,            # scalar prefetch (SMEM)
             P, r[:, None], (((1,), (0,)), ((), ())),
             preferred_element_type=r.dtype)[:, 0] + q_ref[0, 0]
         u = u_ref[0, 0]
-        z = jnp.clip(x + u, lb_ref[0, 0], ub_ref[0, 0])
-        u = u + (x - z)
+        xh = alpha * x + (1.0 - alpha) * z_ref[0, 0] if alpha != 1.0 else x
+        z = jnp.clip(xh + u, lb_ref[0, 0], ub_ref[0, 0])
+        u = u + (xh - z)
         rho = rho_ref[b]
         x_out[0, 0] = x
         z_out[0, 0] = z
@@ -73,9 +74,10 @@ def _kernel(flags_ref, rho_ref,            # scalar prefetch (SMEM)
 
 
 def fused_admm_step(P, r, x, z, u, p, q, lb, ub, rho, converged,
-                    tile: int = DEFAULT_TILE):
-    """One fused ADMM iteration.  All arrays (B, n)/(B, n, n); ``n`` must be
-    a multiple of 128.  ``converged`` is a (B,) bool mask; ``rho`` (B,).
+                    tile: int = DEFAULT_TILE, alpha: float = 1.0):
+    """One fused (optionally over-relaxed) ADMM iteration.  All arrays
+    (B, n)/(B, n, n); ``n`` must be a multiple of 128.  ``converged`` is a
+    (B,) bool mask; ``rho`` (B,); ``alpha`` a static relaxation factor.
 
     Returns (x', z', u', r').
     """
@@ -111,7 +113,7 @@ def fused_admm_step(P, r, x, z, u, p, q, lb, ub, rho, converged,
     )
     shape = jax.ShapeDtypeStruct((B, 1, n), dtype)
     outs = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, alpha=float(alpha)),
         grid_spec=grid_spec,
         out_shape=[shape, shape, shape, shape],
         interpret=jax.devices()[0].platform == "cpu",
