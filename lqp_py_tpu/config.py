@@ -86,6 +86,12 @@ class BoxQPConfig:
     #: on CPU.
     use_pallas_step: bool = False
 
+    def __post_init__(self):
+        if not (0.0 < self.alpha < 2.0):
+            raise ValueError(
+                f"alpha must be in (0, 2) for ADMM convergence, got "
+                f"{self.alpha}")
+
     def resolved_check_interval(self, n_x: int) -> int:
         cs = self.check_solved
         if cs is None:

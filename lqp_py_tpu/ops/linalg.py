@@ -76,6 +76,63 @@ def spd_inverse(H):
     return chol_inverse(lax_linalg.cholesky(H))
 
 
+# ---------------------------------------------------------------------------
+# Fast SPD inverse: block Schur-complement recursion over MXU GEMMs with a
+# Pallas SWEEP kernel at the 128x128 leaves (ops/pallas/spd_inverse.py).
+#
+# XLA's cholesky + triangular_solve are dominated by sequential column
+# recurrences (~55 ms at B=128, n=1000 f32 on v5e); this path keeps all
+# O(n^3) work in batched GEMMs and runs the only irreducibly sequential part
+# (the leaf pivot loop) inside VMEM. ~3x faster end-to-end, and it is the
+# default 'inverse'-mode factorization on TPU.
+# ---------------------------------------------------------------------------
+
+_LEAF = 128
+
+
+def _schur_inverse(H, ee):
+    """Recursive SPD inverse; H is (B, n, n) with n a multiple of _LEAF."""
+    n = H.shape[-1]
+    if n <= _LEAF:
+        from lqp_py_tpu.ops.pallas.spd_inverse import sweep_spd_inverse
+        return sweep_spd_inverse(H)
+    h = (n // _LEAF // 2) * _LEAF
+    A = H[..., :h, :h]
+    Bm = H[..., :h, h:]
+    C = H[..., h:, h:]
+    Ai = _schur_inverse(A, ee)
+    T = ee("...ij,...jk->...ik", Ai, Bm)          # Ai B        (h, n-h)
+    S = C - ee("...ji,...jk->...ik", Bm, T)       # C - B^T Ai B
+    Si = _schur_inverse(S, ee)
+    U = ee("...ij,...jk->...ik", T, Si)           # Ai B Si     (h, n-h)
+    TL = Ai + ee("...ik,...jk->...ij", U, T)      # Ai + U (Ai B)^T
+    top = jnp.concatenate([TL, -U], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(U, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def spd_inverse_fast(H, precision: str = "highest"):
+    """SPD inverse of (B, n, n).  On TPU: Schur recursion + Pallas sweep
+    leaves; elsewhere falls back to the Cholesky path.  ``n`` is padded to a
+    multiple of 128 with an identity block (exact: the inverse of
+    blockdiag(H, I) is blockdiag(H^-1, I))."""
+    if jax.default_backend() != "tpu":
+        return spd_inverse(H)
+    import functools
+    ee = functools.partial(jnp.einsum, precision=precision,
+                           preferred_element_type=H.dtype)
+    n = H.shape[-1]
+    n_pad = -(-n // _LEAF) * _LEAF
+    pad = n_pad - n
+    if pad:
+        B = H.shape[0]
+        Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
+        Hp = Hp.at[:, :n, :n].set(H)
+        Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
+        return _schur_inverse(Hp, ee)[:, :n, :n]
+    return _schur_inverse(H, ee)
+
+
 @struct.dataclass
 class KKTFactors:
     """Factorization state of the reduced KKT operator.
@@ -105,13 +162,31 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
     rho_diag = jnp.broadcast_to(rho[..., None, None] if rho.ndim == 1 else rho,
                                 Q.shape[:-2] + (1, 1))
     H = Q + rho_diag * _eye_like(Q)
+
+    if mode == "inverse":
+        # Materialized-inverse mode never needs a triangular factor:
+        # H^-1 comes from the Schur/sweep fast path (Cholesky-free), and
+        # the Schur-complement pieces are plain GEMMs against it.
+        Hinv = spd_inverse_fast(H)
+        if A is None:
+            return KKTFactors(P=Hinv, L=None, W=None, Sinv=None)
+        At = jnp.swapaxes(A, -1, -2)
+        W = jnp.einsum("...ij,...jk->...ik", Hinv, At,
+                       preferred_element_type=Q.dtype)   # (B, n, m)
+        S = jnp.einsum("...ij,...jk->...ik", A, W,
+                       preferred_element_type=Q.dtype)   # (B, m, m)
+        if s_reg:
+            S = S + s_reg * jnp.eye(S.shape[-1], dtype=S.dtype)
+        Sinv = spd_inverse(S)
+        WS = jnp.einsum("...im,...mk->...ik", W, Sinv,
+                        preferred_element_type=Q.dtype)
+        P = Hinv - jnp.einsum("...im,...jm->...ij", WS, W,
+                              preferred_element_type=Q.dtype)
+        return KKTFactors(P=P, L=None, W=W, Sinv=Sinv)
+
     L = lax_linalg.cholesky(H)
-
     if A is None:
-        if mode == "inverse":
-            return KKTFactors(P=chol_inverse(L), L=None, W=None, Sinv=None)
         return KKTFactors(P=None, L=L, W=None, Sinv=None)
-
     At = jnp.swapaxes(A, -1, -2)
     W = chol_solve(L, At)                       # (B, n, m)
     S = jnp.einsum("...ij,...jk->...ik", A, W,
@@ -119,14 +194,6 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
     if s_reg:
         S = S + s_reg * jnp.eye(S.shape[-1], dtype=S.dtype)
     Sinv = spd_inverse(S)
-
-    if mode == "inverse":
-        Hinv = chol_inverse(L)
-        WS = jnp.einsum("...im,...mk->...ik", W, Sinv,
-                        preferred_element_type=Q.dtype)
-        P = Hinv - jnp.einsum("...im,...jm->...ij", WS, W,
-                              preferred_element_type=Q.dtype)
-        return KKTFactors(P=P, L=None, W=W, Sinv=Sinv)
     return KKTFactors(P=None, L=L, W=W, Sinv=Sinv)
 
 
