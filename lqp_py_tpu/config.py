@@ -43,13 +43,23 @@ class BoxQPConfig:
     #: Residual-check interval; ``None`` -> reference heuristic
     #: max(round(sqrt(n_x)/10)*10, 1).
     check_solved: Optional[int] = None
-    #: ADMM penalty; ``None`` -> per-element auto: ||Q||_F / sqrt(n_x).
+    #: ADMM penalty; ``None`` -> per-element auto:
+    #: rho_scale * ||Q||_F / sqrt(n_x).
     rho: Optional[float] = None
+    #: Multiplier on the auto-rho.  The reference implicitly uses 1.0
+    #: (solve_box_qp_admm_torch.py:200-203); 0.5 measured best across the
+    #: random-SPD and hard-QP families at tol 1e-5 with the per-element
+    #: adaptive-rho gate (21 vs 41 iters at dz=1000).
+    rho_scale: float = 0.5
     rho_min: float = 1e-6
     rho_max: float = 1e6
     adaptive_rho: bool = True
-    adaptive_rho_tol: float = 10.0
-    adaptive_rho_iter: int = 100
+    adaptive_rho_tol: float = 5.0
+    #: First adaptive-rho update / update spacing, in iterations.  The
+    #: reference waits 100 iterations; on TPU a refactorization is ~20 ms
+    #: of GEMMs, so adapting early (25) pays for itself on hard problems
+    #: (711 -> 286 iters on the hard dz=50 set).
+    adaptive_rho_iter: int = 25
     adaptive_rho_max_iter: int = 1000
     adaptive_rho_threshold: float = 1e-5
     #: Over-relaxation parameter (x_hat = alpha*x + (1-alpha)*z before the

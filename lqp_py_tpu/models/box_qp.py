@@ -101,7 +101,8 @@ def _prep(Q, p, A, b, lb, ub, config):
     # (solve_box_qp_admm_torch.py:156-158).
     if config.rho is None:
         q_fro = jnp.sqrt(jnp.sum(sp.Q * sp.Q, axis=(-1, -2)))
-        rho = jnp.clip(q_fro / jnp.sqrt(jnp.asarray(n, dtype)),
+        rho = jnp.clip(config.rho_scale * q_fro
+                       / jnp.sqrt(jnp.asarray(n, dtype)),
                        config.rho_min, config.rho_max)
     else:
         rho = jnp.full((B,), config.rho, dtype)
@@ -227,14 +228,21 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
         den = jnp.maximum(st.dual_error / st.told_norm, _ZERO_CLAMP)
         ratio = jnp.sqrt(num / den)
         tol = jnp.asarray(config.adaptive_rho_tol, dtype)
-        outside = jnp.any(ratio > tol) | jnp.any(ratio < 1.0 / tol)
+        # Per-element update gate: an element only moves when ITS OWN
+        # primal/dual ratio is outside the band.  The reference rescales
+        # every non-converged element whenever any element trips
+        # (solve_box_qp_admm_torch.py:247-250), which destabilizes elements
+        # whose rho is already balanced — measured 31 -> 1191 iterations on
+        # the hard dz=500 set with frequent updates.
+        el_outside = (ratio > tol) | (ratio < 1.0 / tol)
+        upd_mask = st.do_rho_update & el_outside
         window = ((st.it >= adaptive_interval)
                   & (st.it < config.adaptive_rho_max_iter)
                   & ((st.it % adaptive_interval) < cs))
-        pred = window & jnp.any(st.do_rho_update) & outside
+        pred = window & jnp.any(upd_mask)
 
         def do_update(_):
-            rho_new = jnp.where(st.do_rho_update, st.rho * ratio, st.rho)
+            rho_new = jnp.where(upd_mask, st.rho * ratio, st.rho)
             rho_new = jnp.clip(rho_new, config.rho_min, config.rho_max)
             f, q = factorize(rho_new)
             return rho_new, f, q
