@@ -35,6 +35,17 @@ def _force(tree):
     _ = float(jnp.ravel(jnp.asarray(leaf))[0])
     return tree
 
+
+def _checksum(tree):
+    """In-graph scalar depending on EVERY output leaf, so fetching it (a)
+    guarantees the whole program ran (no dead-code elimination of dual /
+    residual extraction) and (b) costs one small host transfer instead of
+    the ~3 tunnel round-trips of block_until_ready + slice + read, which
+    were inflating every timed call by ~35 ms on the remote TPU."""
+    leaves = [l for l in jax.tree_util.tree_leaves(tree) if l is not None]
+    return sum(jnp.sum(jnp.abs(jnp.asarray(l).astype(jnp.float32)))
+               for l in leaves)
+
 # Reference ADMM-FP totals (s) read off the published charts (BASELINE.md).
 REF_TOTAL_S = {10: 0.025, 50: 0.027, 100: 0.068, 250: 0.26, 500: 0.75,
                1000: 2.6}
@@ -48,7 +59,8 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
 
     @jax.jit
     def fwd(Q, p):
-        return solve_box_qp(Q, p, A, b, lb, ub, cfg)
+        sol = solve_box_qp(Q, p, A, b, lb, ub, cfg)
+        return sol, _checksum(sol)
 
     @jax.jit
     def fwd_bwd(Q, p):
@@ -56,15 +68,16 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
             x = boxqp(Q, p, A, b, lb, ub, config=cfg)
             return jnp.sum(x)
         l, grads = jax.value_and_grad(loss, argnums=(0, 1))(Q, p)
-        return l, grads
+        return l, grads, _checksum((l, grads))
 
     # Compile (excluded — steady-state serving numbers; the reference's
     # torch eager path has no compile step to amortize).
     t0 = time.perf_counter()
-    sol = _force(fwd(Q, p))
+    sol, _c = fwd(Q, p)
+    _force(_c)
     compile_fwd_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _force(fwd_bwd(Q, p))
+    _force(fwd_bwd(Q, p)[-1])
     compile_total_s = time.perf_counter() - t0
 
     conv = bool(jnp.all(sol.converged))
@@ -73,10 +86,10 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
     fwd_times, tot_times = [], []
     for _ in range(n_sims):
         t0 = time.perf_counter()
-        _force(fwd(Q, p))
+        float(fwd(Q, p)[-1])
         fwd_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _force(fwd_bwd(Q, p))
+        float(fwd_bwd(Q, p)[-1])
         tot_times.append(time.perf_counter() - t0)
 
     return {

@@ -116,7 +116,9 @@ def spd_inverse_fast(H, precision: str = "highest"):
     leaves; elsewhere falls back to the Cholesky path.  ``n`` is padded to a
     multiple of 128 with an identity block (exact: the inverse of
     blockdiag(H, I) is blockdiag(H^-1, I))."""
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or H.dtype != jnp.float32:
+        # Mosaic kernels have no f64 support; x64 runs (and CPU) take the
+        # lax Cholesky path.
         return spd_inverse(H)
     import functools
     ee = functools.partial(jnp.einsum, precision=precision,
