@@ -50,6 +50,10 @@ def _load():
         ctypes.c_int, ctypes.c_int,
         d, d, d, d, i, d, d,
     ]
+    if hasattr(lib, "lqp_solve_box_qp_batch_mt"):
+        lib.lqp_solve_box_qp_batch_mt.restype = ctypes.c_int
+        lib.lqp_solve_box_qp_batch_mt.argtypes = (
+            [ctypes.c_int] + list(lib.lqp_solve_box_qp_batch.argtypes))
     _lib = lib
     return _lib
 
@@ -61,10 +65,14 @@ def available() -> bool:
 def solve_box_qp_native(Q, p, A=None, b=None, lb=None, ub=None,
                         rho: float = -1.0, eps_abs: float = 1e-6,
                         eps_rel: float = 1e-6, max_iters: int = 100000,
-                        check_every: int = 0):
+                        check_every: int = 0, n_threads: int = 1):
     """Batched solve through the C++ core.  Shapes as in the JAX solver
     ((B, n) vectors).  Returns dict with x, z, nus, lams (signed), iters,
-    primal/dual residuals, status."""
+    primal/dual residuals, status.
+
+    ``n_threads``: 1 -> sequential batch loop (mirrors the reference's
+    SCS-wrapper pattern, scs_qp.py:97-108); 0 -> all cores via OpenMP;
+    k > 1 -> k OpenMP threads."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native solver unavailable (build failed)")
@@ -97,7 +105,7 @@ def solve_box_qp_native(Q, p, A=None, b=None, lb=None, ub=None,
     def ptr(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
-    status = lib.lqp_solve_box_qp_batch(
+    common = (
         B, n, m,
         ptr(Q), ptr(p),
         ptr(A) if m > 0 else None, ptr(b) if m > 0 else None,
@@ -107,6 +115,10 @@ def solve_box_qp_native(Q, p, A=None, b=None, lb=None, ub=None,
         ptr(x), ptr(z), ptr(nus) if m > 0 else None, ptr(lams),
         iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         ptr(primal), ptr(dual))
+    if n_threads != 1 and hasattr(lib, "lqp_solve_box_qp_batch_mt"):
+        status = lib.lqp_solve_box_qp_batch_mt(int(n_threads), *common)
+    else:
+        status = lib.lqp_solve_box_qp_batch(*common)
 
     return {
         "x": x, "z": z, "nus": nus if m > 0 else None, "lams": lams,

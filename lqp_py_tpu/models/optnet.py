@@ -14,8 +14,9 @@ KKT-based backward reusing the cached factors.
 TPU-first differences:
 - the iteration loop is an on-device ``lax.while_loop`` (the reference's
   Python loop + ``.item()`` stop is a host sync per iteration);
-- lower-triangular block factors with batched ``triangular_solve`` —
-  everything static-shaped, jit/vmap/shard-compatible;
+- all fixed operators are materialized inverses (sweep/Schur fast path on
+  TPU) so every KKT solve is a handful of batched GEMVs instead of 4-6
+  sequential triangular substitutions — static-shaped, jit/vmap/shard-safe;
 - the residual/stopping block runs for *all* problems — the reference only
   checks convergence when equality constraints exist (bug: the whole IP
   update sits under ``if any_eq:``, optnet.py:111-186).
@@ -28,11 +29,9 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.lax import linalg as lax_linalg
 
 from lqp_py_tpu.config import OptNetConfig
 from lqp_py_tpu.models.eqcon import qp_eqcon, solve_qp_eqcon
-from lqp_py_tpu.ops.linalg import chol_solve
 from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import QPSolution, as_vector, like_layout
 
@@ -46,81 +45,85 @@ def _mtv(M, v):
 
 
 class IPFactors(NamedTuple):
-    """Cached factors: chol(Q) and the rho-independent Schur blocks.
+    """Cached d-independent pieces of the condensed KKT operator.
 
-    S = [[A Q^-1 A^T, A Q^-1 G^T], [G Q^-1 A^T, G Q^-1 G^T + D^-1]] is
-    factored as the block-lower-Cholesky [[L11, 0], [L21, L22(d)]]; only
-    ``L22 = chol(Rt + diag(1/d))`` depends on the interior-point scaling d
-    (reference optnet_pre_factor_kkt / optnet_factor_kkt,
-    optnet.py:202-296).
+    The reference keeps triangular factors and does 4-6 batched
+    ``triangular_solve`` calls per solve (optnet_pre_factor_kkt /
+    optnet_factor_kkt / torch_qp_int_solve_kkt, optnet.py:202-339).
+    Triangular substitution is a sequential recurrence the TPU executes
+    poorly, so here every fixed operator is a *materialized inverse*
+    (built via the sweep/Schur fast path on TPU, ops/linalg.py) and every
+    solve is a batched GEMV:
+
+      S = [[S11, S12], [S21, S22(d)]],  S11 = A Q^-1 A^T,
+      S21 = G Q^-1 A^T,  S22 = G Q^-1 G^T + diag(1/d)
+      Rt  = S22-block Schur complement = G Q^-1 G^T - S21 S11^-1 S12
     """
-    L_Q: jax.Array
-    L11: Optional[jax.Array]     # chol(A Q^-1 A^T), None if no equalities
-    L21: Optional[jax.Array]     # G Q^-1 A^T L11^-T
-    Rt: jax.Array                # G Q^-1 G^T - L21 L21^T
+    Qinv: jax.Array              # Q^-1
+    S11inv: Optional[jax.Array]  # (A Q^-1 A^T)^-1, None if no equalities
+    T: Optional[jax.Array]       # S21 S11^-1  (fixed)
+    Rt: jax.Array                # G Q^-1 G^T - S21 S11^-1 S12
 
 
 def ip_pre_factor(Q, A, G) -> IPFactors:
-    L_Q = lax_linalg.cholesky(Q)
+    from lqp_py_tpu.ops.linalg import spd_inverse_fast
+    Qinv = spd_inverse_fast(Q)
     Gt = jnp.swapaxes(G, -1, -2)
-    invQ_Gt = chol_solve(L_Q, Gt)                      # (B, n, ni)
+    invQ_Gt = jnp.einsum("...ij,...jk->...ik", Qinv, Gt,
+                         preferred_element_type=Q.dtype)   # (B, n, ni)
     R = jnp.einsum("...ij,...jk->...ik", G, invQ_Gt,
-                   preferred_element_type=Q.dtype)     # (B, ni, ni)
+                   preferred_element_type=Q.dtype)         # (B, ni, ni)
     if A is None:
-        return IPFactors(L_Q=L_Q, L11=None, L21=None, Rt=R)
+        return IPFactors(Qinv=Qinv, S11inv=None, T=None, Rt=R)
     At = jnp.swapaxes(A, -1, -2)
-    invQ_At = chol_solve(L_Q, At)                      # (B, n, m)
+    invQ_At = jnp.einsum("...ij,...jk->...ik", Qinv, At,
+                         preferred_element_type=Q.dtype)   # (B, n, m)
     AQA = jnp.einsum("...ij,...jk->...ik", A, invQ_At,
                      preferred_element_type=Q.dtype)
-    L11 = lax_linalg.cholesky(AQA)
+    S11inv = spd_inverse_fast(AQA)
     GQA = jnp.einsum("...ij,...jk->...ik", G, invQ_At,
-                     preferred_element_type=Q.dtype)   # (B, ni, m)
-    # L21 = G Q^-1 A^T L11^-T  (right-solve against the transposed factor)
-    L21 = lax_linalg.triangular_solve(L11, GQA, left_side=False,
-                                      lower=True, transpose_a=True)
-    Rt = R - jnp.einsum("...im,...jm->...ij", L21, L21,
+                     preferred_element_type=Q.dtype)       # (B, ni, m)
+    T = jnp.einsum("...im,...mk->...ik", GQA, S11inv,
+                   preferred_element_type=Q.dtype)         # (B, ni, m)
+    Rt = R - jnp.einsum("...im,...km->...ik", T, GQA,
                         preferred_element_type=Q.dtype)
-    return IPFactors(L_Q=L_Q, L11=L11, L21=L21, Rt=Rt)
+    return IPFactors(Qinv=Qinv, S11inv=S11inv, T=T, Rt=Rt)
 
 
 def ip_factor_L22(f: IPFactors, d, int_reg):
+    """d-dependent refactorization: the inverse of the inequality-block
+    Schur complement ``Rt + diag(1/d)`` (role of optnet_factor_kkt,
+    optnet.py:281-296).  Kept under the reference name; the returned object
+    is the materialized inverse, applied as a GEMV."""
+    from lqp_py_tpu.ops.linalg import spd_inverse_fast
     ni = f.Rt.shape[-1]
     eye = jnp.eye(ni, dtype=f.Rt.dtype)
-    return lax_linalg.cholesky(f.Rt + eye * (1.0 / d)[..., None, :]
-                               + int_reg * eye)
+    return spd_inverse_fast(f.Rt + eye * (1.0 / d)[..., None, :]
+                            + int_reg * eye)
 
 
-def _schur_solve(f: IPFactors, L22, H_eq, H_in):
-    """Solve S w = [H_eq; H_in] through the block factors."""
-    if f.L11 is None:
-        w_in = chol_solve(L22, H_in)
-        return None, w_in
-    y1 = lax_linalg.triangular_solve(f.L11, H_eq[..., None], left_side=True,
-                                     lower=True)[..., 0]
-    rhs2 = H_in - _mv(f.L21, y1)
-    y2 = lax_linalg.triangular_solve(L22, rhs2[..., None], left_side=True,
-                                     lower=True)[..., 0]
-    w_in = lax_linalg.triangular_solve(L22, y2[..., None], left_side=True,
-                                       lower=True, transpose_a=True)[..., 0]
-    rhs1 = y1 - _mtv(f.L21, w_in)
-    w_eq = lax_linalg.triangular_solve(f.L11, rhs1[..., None], left_side=True,
-                                       lower=True, transpose_a=True)[..., 0]
+def _schur_solve(f: IPFactors, Minv, H_eq, H_in):
+    """Solve S w = [H_eq; H_in] through the cached inverses (GEMVs only)."""
+    if f.S11inv is None:
+        return None, _mv(Minv, H_in)
+    w_in = _mv(Minv, H_in - _mv(f.T, H_eq))
+    w_eq = _mv(f.S11inv, H_eq) - _mtv(f.T, w_in)
     return w_eq, w_in
 
 
-def ip_solve_kkt(f: IPFactors, L22, d, G, A, rx, rs, rz, ry):
+def ip_solve_kkt(f: IPFactors, Minv, d, G, A, rx, rs, rz, ry):
     """One KKT solve of the condensed interior-point system
     (``torch_qp_int_solve_kkt``, optnet.py:299-339)."""
-    invQ_rx = chol_solve(f.L_Q, rx)
+    invQ_rx = _mv(f.Qinv, rx)
     H_in = _mv(G, invQ_rx) + rs / d - rz
     H_eq = None if A is None else _mv(A, invQ_rx) - ry
-    w_eq, w_in = _schur_solve(f, L22, H_eq, H_in)
+    w_eq, w_in = _schur_solve(f, Minv, H_eq, H_in)
     w_eq_n, w_in_n = (None if w_eq is None else -w_eq), -w_in
 
     g1 = -rx - _mtv(G, w_in_n)
     if A is not None:
         g1 = g1 - _mtv(A, w_eq_n)
-    dx = chol_solve(f.L_Q, g1)
+    dx = _mv(f.Qinv, g1)
     ds = (-rs - w_in_n) / d
     dz = w_in_n
     dy = w_eq_n
@@ -187,10 +190,10 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
     # --- init (optnet_init, optnet.py:244-278): one KKT solve at d = 1,
     # then shift s and z to be >= 1.
     d0 = jnp.ones((B, ni), dtype)
-    L22 = ip_factor_L22(f, d0, int_reg)
+    Minv22 = ip_factor_L22(f, d0, int_reg)
     ry0 = None if b is None else -b
     x0, s0, z0, y0 = ip_solve_kkt(
-        f, L22, d0, G, A,
+        f, Minv22, d0, G, A,
         rx=p, rs=jnp.zeros((B, ni), dtype), rz=-h, ry=ry0)
     s_shift = jnp.maximum(1.0 - jnp.min(s0, axis=-1), 0.0)
     z_shift = jnp.maximum(1.0 - jnp.min(z0, axis=-1), 0.0)
@@ -223,11 +226,19 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
         dual = jnp.linalg.norm(rx, axis=-1)
         resid = (prim + dual) / 2.0 + mu
 
-        d = st.z / st.s
-        L22 = ip_factor_L22(f, d, int_reg)
+        # Clamp the complementarity scaling: near convergence z/s spans
+        # ~1/tol^2, which overflows an f32 factorization (both this and the
+        # reference's triangular version NaN at tol < 1e-5 in f32 without
+        # it).  Bounds scale with the dtype so f64 keeps its full reach;
+        # the clamp only saturates directions resolved far beyond the
+        # stopping tolerance.
+        d_cap = 1e8 if dtype == jnp.float32 else 1e16
+        d = jnp.clip(st.z / st.s, 1.0 / d_cap, d_cap)
+        Minv22 = ip_factor_L22(f, d, int_reg)
 
         # --- affine (predictor) step.
-        dx_a, ds_a, dz_a, dy_a = ip_solve_kkt(f, L22, d, G, A, rx, rs, rz, ry)
+        dx_a, ds_a, dz_a, dy_a = ip_solve_kkt(f, Minv22, d, G, A,
+                                              rx, rs, rz, ry)
 
         alpha = jnp.minimum(jnp.minimum(_ratio_step(st.z, dz_a),
                                         _ratio_step(st.s, ds_a)), 1.0)
@@ -244,7 +255,7 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
         zero_z = jnp.zeros_like(rz)
         zero_y = None if ry is None else jnp.zeros_like(ry)
         dx_c, ds_c, dz_c, dy_c = ip_solve_kkt(
-            f, L22, d, G, A, zero_x, rs_cor, zero_z, zero_y)
+            f, Minv22, d, G, A, zero_x, rs_cor, zero_z, zero_y)
 
         dx, ds, dz = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c
         dy = None if dy_a is None else dy_a + dy_c
@@ -289,14 +300,14 @@ def optnet_grads(dl_dz, x, lams, slacks, nus, Q, A, G, f: IPFactors,
     """KKT backward reusing the cached factors (``torch_optnet_grads``,
     optnet.py:349-407)."""
     d = lams / slacks
-    L22 = ip_factor_L22(f, d, int_reg)
+    Minv22 = ip_factor_L22(f, d, int_reg)
     B = x.shape[0]
     ni = G.shape[-2]
     dtype = x.dtype
     zero_in = jnp.zeros((B, ni), dtype)
     ry = None if A is None else jnp.zeros((B, A.shape[-2]), dtype)
     dx, _ds, dlam_t, dnu = ip_solve_kkt(
-        f, L22, d, G, A, rx=dl_dz, rs=zero_in, rz=zero_in, ry=ry)
+        f, Minv22, d, G, A, rx=dl_dz, rs=zero_in, rz=zero_in, ry=ry)
     # dz from the condensed solve is D(lams) dlam (Amos & Kolter eq. 8).
     dlam = dlam_t / lams
 

@@ -115,7 +115,15 @@ def spd_inverse_fast(H, precision: str = "highest"):
     """SPD inverse of (B, n, n).  On TPU: Schur recursion + Pallas sweep
     leaves; elsewhere falls back to the Cholesky path.  ``n`` is padded to a
     multiple of 128 with an identity block (exact: the inverse of
-    blockdiag(H, I) is blockdiag(H^-1, I))."""
+    blockdiag(H, I) is blockdiag(H^-1, I)).
+
+    The input is Jacobi-equilibrated first (``H' = D H D`` with
+    ``D = diag(H)^-1/2``, so diag(H') = 1) and the result unscaled as
+    ``H^-1 = D H'^-1 D``.  Without this, matrices with extreme diagonal
+    dynamic range — e.g. the interior-point Schur complement
+    ``Rt + diag(1/d)`` whose diagonal spans ~1e8 near convergence — lose
+    all accuracy in a fixed-order f32 sweep (observed as NaNs in the
+    OptNet solver)."""
     if jax.default_backend() != "tpu" or H.dtype != jnp.float32:
         # Mosaic kernels have no f64 support; x64 runs (and CPU) take the
         # lax Cholesky path.
@@ -123,16 +131,21 @@ def spd_inverse_fast(H, precision: str = "highest"):
     import functools
     ee = functools.partial(jnp.einsum, precision=precision,
                            preferred_element_type=H.dtype)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    d = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))           # (B, n)
+    Hs = H * d[..., :, None] * d[..., None, :]
     n = H.shape[-1]
     n_pad = -(-n // _LEAF) * _LEAF
     pad = n_pad - n
     if pad:
         B = H.shape[0]
         Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
-        Hp = Hp.at[:, :n, :n].set(H)
+        Hp = Hp.at[:, :n, :n].set(Hs)
         Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
-        return _schur_inverse(Hp, ee)[:, :n, :n]
-    return _schur_inverse(H, ee)
+        Hi = _schur_inverse(Hp, ee)[:, :n, :n]
+    else:
+        Hi = _schur_inverse(Hs, ee)
+    return Hi * d[..., :, None] * d[..., None, :]
 
 
 @struct.dataclass

@@ -21,6 +21,10 @@
 #include <limits>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 // Dense LDL^T factorization (no pivoting) of a symmetric quasi-definite
@@ -200,6 +204,42 @@ int lqp_solve_box_qp_batch(
         if (s != 0) status = s;
     }
     return status;
+}
+
+// OpenMP batch-parallel front-end: one problem per task across cores.
+// The sequential version above deliberately mirrors the reference's
+// SCS-wrapper anti-pattern (scs_qp.py:97-108) for benchmarking; this one is
+// the honest multicore CPU baseline.  n_threads <= 0 -> OpenMP default.
+int lqp_solve_box_qp_batch_mt(
+    int n_threads,
+    int n_batch, int n, int m,
+    const double* Q, const double* p, const double* A, const double* b,
+    const double* lb, const double* ub,
+    double rho, double eps_abs, double eps_rel, int max_iters,
+    int check_every,
+    double* x_out, double* z_out, double* nu_out, double* lam_out,
+    int* iters_out, double* primal_out, double* dual_out) {
+    int worst = 0;  // 0 ok, 1 max-iters, 2 factorization failure
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel for schedule(dynamic) reduction(max : worst)
+#endif
+    for (int i = 0; i < n_batch; ++i) {
+        const int s = lqp_solve_box_qp(
+            n, m,
+            Q + (size_t)i * n * n, p + (size_t)i * n,
+            m > 0 ? A + (size_t)i * m * n : nullptr,
+            m > 0 ? b + (size_t)i * m : nullptr,
+            lb + (size_t)i * n, ub + (size_t)i * n,
+            rho, eps_abs, eps_rel, max_iters, check_every,
+            x_out + (size_t)i * n, z_out + (size_t)i * n,
+            m > 0 ? nu_out + (size_t)i * m : nullptr,
+            lam_out + (size_t)i * n,
+            iters_out + i, primal_out + i, dual_out + i);
+        const int mapped = (s == -1) ? 2 : s;
+        if (mapped > worst) worst = mapped;
+    }
+    return worst == 2 ? -1 : worst;
 }
 
 }  // extern "C"
