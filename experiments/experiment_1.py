@@ -50,8 +50,11 @@ def time_fn(f, *args, n_sims):
 
 
 def grad_fn(layer_call):
-    def loss(Q, p):
-        return jnp.sum(layer_call(Q, p))
+    """jit'd fwd+bwd where ALL problem arrays are jit arguments — closing
+    over G (B, 2n, n) would bake a ~1 GB constant into the HLO at dz=1000
+    and blow past the remote-compile payload limit."""
+    def loss(Q, p, *rest):
+        return jnp.sum(layer_call(Q, p, *rest))
     return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 
 
@@ -68,19 +71,21 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
                                    unroll_iters=150, adaptive_rho=False),
     }
     for name, cfg in modes.items():
-        f = grad_fn(lambda Q, p, cfg=cfg: boxqp(Q, p, A, b, lb, ub,
-                                                config=cfg))
-        out[name] = time_fn(f, Q, p, n_sims=n_sims)
+        f = grad_fn(lambda Q, p, A, b, lb, ub, cfg=cfg:
+                    boxqp(Q, p, A, b, lb, ub, config=cfg))
+        out[name] = time_fn(f, Q, p, A, b, lb, ub, n_sims=n_sims)
 
     G, h = data.with_G_h()
     gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol)
-    f = grad_fn(lambda Q, p: qp_gen(Q, p, A, b, G, h, config=gen_cfg))
-    out["GenQP"] = time_fn(f, Q, p, n_sims=n_sims)
+    f = grad_fn(lambda Q, p, A, b, G, h:
+                qp_gen(Q, p, A, b, G, h, config=gen_cfg))
+    out["GenQP"] = time_fn(f, Q, p, A, b, G, h, n_sims=n_sims)
 
     if include_ip:
         ip_cfg = OptNetConfig(tol=tol, max_iters=30)
-        f = grad_fn(lambda Q, p: qp_optnet(Q, p, A, b, G, h, config=ip_cfg))
-        out["OptNet_IP"] = time_fn(f, Q, p, n_sims=n_sims)
+        f = grad_fn(lambda Q, p, A, b, G, h:
+                    qp_optnet(Q, p, A, b, G, h, config=ip_cfg))
+        out["OptNet_IP"] = time_fn(f, Q, p, A, b, G, h, n_sims=n_sims)
 
     # Native CPU baseline (forward only; sequential like the reference SCS).
     from lqp_py_tpu.cpu import native

@@ -21,6 +21,8 @@ from lqp_py_tpu.models.box_qp import solve_box_qp, solve_box_qp_unrolled
 from lqp_py_tpu.models.layers import BoxQP, BoxQPLayer, boxqp
 from lqp_py_tpu.models.eqcon import qp_eqcon, solve_qp_eqcon
 from lqp_py_tpu.models.uncon import qp_uncon, solve_qp_uncon
+from lqp_py_tpu.models.optnet import OptNetLayer, qp_optnet, solve_qp_optnet
+from lqp_py_tpu.models.genqp import GenQPLayer, qp_gen, solve_qp_gen
 
 __version__ = "0.1.0"
 
@@ -31,4 +33,6 @@ __all__ = [
     "solve_box_qp", "solve_box_qp_unrolled",
     "BoxQP", "BoxQPLayer", "boxqp",
     "qp_eqcon", "solve_qp_eqcon", "qp_uncon", "solve_qp_uncon",
+    "OptNetLayer", "qp_optnet", "solve_qp_optnet",
+    "GenQPLayer", "qp_gen", "solve_qp_gen",
 ]

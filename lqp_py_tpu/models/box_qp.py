@@ -415,9 +415,13 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
     # in the cached factor (which kkt_solve_cached attributes wholly to Q)
     # would leave a spurious non-cancelling gradient through rho(Q).
     rho_sg = jax.lax.stop_gradient(rho0)
-    factors = jax.tree_util.tree_map(
-        jax.lax.stop_gradient,
-        lin.factorize_kkt(Qs, rho_sg, As, mode=config.kkt_solver))
+    # stop_gradient BEFORE factorizing: the cached factors receive zero
+    # cotangent by design (kkt_solve_cached), and tangents must never enter
+    # the factorization itself — its pallas sweep kernel has no JVP rule.
+    factors = lin.factorize_kkt(
+        jax.lax.stop_gradient(Qs), rho_sg,
+        None if As is None else jax.lax.stop_gradient(As),
+        mode=config.kkt_solver)
     rho_col = rho_sg[..., None]
 
     zeros = jnp.zeros((B, n), dtype)
@@ -437,13 +441,20 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
             u_new = u + (xh - z_new)
             return x_new, z_new, u_new
 
-        z_last = z
-        for _k in range(cs):
+        # Inner block as a differentiable lax.scan (NOT a python loop: at
+        # n=1000 an inlined 10-iteration body makes the serialized HLO
+        # large enough to matter for compile time / remote-compile caps).
+        def inner(carry, _):
+            x, z, u, z_last = carry
             xn, zn, un = one_iter(x, z, u)
             z_last = jnp.where(done, z_last, z)
             x = jnp.where(done, x, xn)
             z = jnp.where(done, z, zn)
             u = jnp.where(done, u, un)
+            return (x, z, u, z_last), None
+
+        (x, z, u, z_last), _ = jax.lax.scan(
+            inner, (x, z, u, z), None, length=cs)
 
         # Convergence bookkeeping (non-differentiable): full OSQP-style
         # primal+dual test, matching the while-loop solver.

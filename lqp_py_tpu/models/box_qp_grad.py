@@ -29,6 +29,36 @@ def _outer(a, b):
     return jnp.einsum("...i,...j->...ij", a, b)
 
 
+def reduced_kkt_solve(H, A, r, reg):
+    """Solve ``[[H, A^T], [A, 0]] [dv; dnu] = [r; 0]`` for SPD H through
+    the sweep/Schur solve-only fast path (ops/linalg.py spd_solve_fast):
+    on TPU this avoids both the lax Cholesky's sequential column recurrence
+    AND the cost of materializing the full inverse for a single right-hand
+    side.  ``A`` may be None (returns dnu=None)."""
+    from lqp_py_tpu.ops import linalg as lin
+    dtype = r.dtype
+    if A is None:
+        return lin.spd_solve_fast(H, r[..., None])[..., 0], None
+    m = A.shape[-2]
+    At = jnp.swapaxes(A, -1, -2)
+    R = jnp.concatenate([r[..., None], At], axis=-1)
+    X = lin.spd_solve_fast(H, R)                        # (B, n, 1+m)
+    x0 = X[..., 0]
+    W = X[..., 1:]                                      # H^-1 A^T
+    S = jnp.einsum("...mi,...ik->...mk", A, W,
+                   preferred_element_type=dtype)
+    S = S + reg * jnp.eye(m, dtype=dtype)
+    Sinv = lin.spd_inverse(S)                           # m x m — tiny
+    dnu = jnp.einsum(
+        "...mk,...k->...m", Sinv,
+        jnp.einsum("...mi,...i->...m", A, x0,
+                   preferred_element_type=dtype),
+        preferred_element_type=dtype)
+    dv = x0 - jnp.einsum("...im,...m->...i", W, dnu,
+                         preferred_element_type=dtype)
+    return dv, dnu
+
+
 def _matvec(M, v):
     return jnp.einsum("...ij,...j->...i", M, v, preferred_element_type=v.dtype)
 
@@ -69,15 +99,7 @@ def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
          + eye_n * (rho_col * (1.0 - dpi) + reg)[..., None, :])
     A_eff = None if A is None else A * dpi[..., None, :]
 
-    from lqp_py_tpu.ops import linalg as lin
-    # 'inverse' mode routes the masked SPD block through the Schur/sweep
-    # fast path (ops/pallas/spd_inverse.py) — ~2x cheaper than the lax
-    # Cholesky on TPU even though only one solve follows, because the
-    # sequential column recurrence is the cost, not the solve count.
-    f = lin.factorize_kkt(H, 0.0, A_eff, mode="inverse", s_reg=reg)
-    dv, dnu_ = lin.kkt_apply(
-        f, -dl_dx,
-        None if A is None else jnp.zeros((B, A.shape[-2]), dtype))
+    dv, dnu_ = reduced_kkt_solve(H, A_eff, -dl_dx, reg)
     if A is not None:
         d = jnp.concatenate([dv, dnu_], axis=-1)
     else:

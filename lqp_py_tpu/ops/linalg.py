@@ -163,6 +163,65 @@ class KKTFactors:
     Sinv: Optional[jax.Array]
 
 
+def _schur_solve_rec(H, R, ee):
+    """``H^-1 R`` without materializing the full inverse: the two half-size
+    blocks are inverted (recursively, sweep leaves) but the cross-block
+    pieces are only ever applied to ``R`` — ~40% fewer FLOPs than
+    ``_schur_inverse`` when only a few right-hand sides are needed.
+
+    H: (B, n, n) SPD with n a multiple of _LEAF; R: (B, n, k).
+    """
+    n = H.shape[-1]
+    if n <= 2 * _LEAF:
+        Hi = _schur_inverse(H, ee)
+        return ee("...ij,...jk->...ik", Hi, R)
+    h = (n // _LEAF // 2) * _LEAF
+    A = H[..., :h, :h]
+    Bm = H[..., :h, h:]
+    C = H[..., h:, h:]
+    R1 = R[..., :h, :]
+    R2 = R[..., h:, :]
+    Ai = _schur_inverse(A, ee)
+    T = ee("...ij,...jk->...ik", Ai, Bm)            # Ai B      (h, n-h)
+    S = C - ee("...ji,...jk->...ik", Bm, T)         # C - B^T Ai B
+    Si = _schur_inverse(S, ee)
+    Y1 = ee("...ij,...jk->...ik", Ai, R1)
+    X2 = ee("...ij,...jk->...ik",
+            Si, R2 - ee("...ji,...jk->...ik", Bm, Y1))
+    X1 = Y1 - ee("...ij,...jk->...ik", T, X2)
+    return jnp.concatenate([X1, X2], axis=-2)
+
+
+def spd_solve_fast(H, R):
+    """Solve ``H X = R`` for SPD (B, n, n) H and (B, n, k) R.  On TPU f32:
+    Jacobi-equilibrated Schur-recursion solve with sweep leaves (cheaper
+    than materializing H^-1 when k << n, e.g. the one-shot backward-pass
+    solve); elsewhere a Cholesky solve."""
+    if jax.default_backend() != "tpu" or H.dtype != jnp.float32:
+        return chol_solve(lax_linalg.cholesky(H), R)
+    import functools
+    ee = functools.partial(jnp.einsum, precision="highest",
+                           preferred_element_type=H.dtype)
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    d = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))         # (B, n)
+    Hs = H * d[..., :, None] * d[..., None, :]
+    Rs = R * d[..., :, None]
+    n = H.shape[-1]
+    n_pad = -(-n // _LEAF) * _LEAF
+    pad = n_pad - n
+    if pad:
+        B, k = H.shape[0], R.shape[-1]
+        Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
+        Hp = Hp.at[:, :n, :n].set(Hs)
+        Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
+        Rp = jnp.zeros((B, n_pad, k), R.dtype)
+        Rp = Rp.at[:, :n, :].set(Rs)
+        X = _schur_solve_rec(Hp, Rp, ee)[:, :n, :]
+    else:
+        X = _schur_solve_rec(Hs, Rs, ee)
+    return X * d[..., :, None]
+
+
 def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
                   s_reg: float = 0.0) -> KKTFactors:
     """Factorize ``M = [[Q + rho I, A^T], [A, 0]]`` (batched).

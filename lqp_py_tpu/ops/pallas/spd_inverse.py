@@ -90,15 +90,14 @@ def sweep_spd_inverse(H, tile_b: int = _DEF_TILE_B, interpret=None):
         g -= 1
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    # Aliasing the input to the output halves VMEM (one in-place tile
-    # instead of in+out), letting the whole batch ride in a single program
-    # at m=128 without hitting the ~16 MB VMEM ceiling.
+    # (input_output_aliases was tried here: Mosaic still allocates both
+    # block buffers, so it saves no VMEM — and it breaks JVP tracing when a
+    # differentiated program merely passes through the kernel.)
     return pl.pallas_call(
         functools.partial(_sweep_kernel, m=m),
         grid=(B // g,),
         in_specs=[pl.BlockSpec((g, m, m), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((g, m, m), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, m, m), H.dtype),
-        input_output_aliases={0: 0},
         interpret=interpret,
     )(H)

@@ -1,0 +1,89 @@
+"""Robustness tests for numerics added on top of reference parity:
+Jacobi equilibration of the fast SPD inverse, config validation, and
+graceful degradation of the f32 interior point."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lqp_py_tpu import BoxQPConfig, OptNetConfig
+from lqp_py_tpu.models.optnet import solve_qp_optnet
+from lqp_py_tpu.ops import linalg as lin
+from lqp_py_tpu.utils.generators import create_qp_data
+
+
+def test_alpha_out_of_range_rejected():
+    with pytest.raises(ValueError, match="alpha"):
+        BoxQPConfig(alpha=2.5)
+    with pytest.raises(ValueError, match="alpha"):
+        BoxQPConfig(alpha=0.0)
+    BoxQPConfig(alpha=1.0)  # boundary-interior values fine
+    BoxQPConfig(alpha=1.95)
+
+
+def test_schur_inverse_extreme_diagonal_scaling():
+    """The sweep path must survive diagonals spanning ~1e8 (the IP Schur
+    complement regime).  Exercised through the recursion with interpreter
+    leaves; equilibration happens in spd_inverse_fast, replicated here."""
+    import functools
+    key = jax.random.PRNGKey(0)
+    n = 256
+    a = jax.random.normal(key, (2, n, n), jnp.float32) * 0.05
+    H = jnp.einsum("bki,bkj->bij", a, a) + jnp.eye(n, dtype=jnp.float32)
+    # scale rows/cols to create a 1e8 dynamic range on the diagonal
+    s = jnp.logspace(0, 4, n, dtype=jnp.float32)
+    H = H * s[None, :, None] * s[None, None, :]
+
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    d = jax.lax.rsqrt(diag)
+    Hs = H * d[..., :, None] * d[..., None, :]
+
+    import lqp_py_tpu.ops.pallas.spd_inverse as sw
+    orig = sw.sweep_spd_inverse
+    sw.sweep_spd_inverse = lambda X, **kw: orig(X, interpret=True)
+    try:
+        ee = functools.partial(jnp.einsum, precision="highest")
+        Hi = lin._schur_inverse(Hs, ee) * d[..., :, None] * d[..., None, :]
+    finally:
+        sw.sweep_spd_inverse = orig
+    resid = jnp.einsum("bij,bjk->bik", H.astype(jnp.float64),
+                       Hi.astype(jnp.float64)) - jnp.eye(n)
+    assert float(jnp.max(jnp.abs(resid))) < 1e-3
+
+
+def test_ip_f32_beyond_tolerance_no_nan():
+    """An f32 interior point asked for tol below the f32 floor must return
+    a finite iterate with converged=False — not NaN (both this framework's
+    original triangular path and the reference's torch implementation
+    produce NaN there)."""
+    data = create_qp_data(40, 4, seed=4, dtype=jnp.float32)
+    G, h = data.with_G_h()
+    sol = solve_qp_optnet(
+        data.Q.astype(jnp.float32), data.p.astype(jnp.float32),
+        data.A.astype(jnp.float32), data.b.astype(jnp.float32),
+        G.astype(jnp.float32), h.astype(jnp.float32),
+        config=OptNetConfig(tol=1e-9, max_iters=25))
+    x = np.asarray(sol.x)
+    assert np.isfinite(x).all()
+    # the f32 iterate should still be a decent solution
+    sol5 = solve_qp_optnet(
+        data.Q.astype(jnp.float32), data.p.astype(jnp.float32),
+        data.A.astype(jnp.float32), data.b.astype(jnp.float32),
+        G.astype(jnp.float32), h.astype(jnp.float32),
+        config=OptNetConfig(tol=1e-5, max_iters=25))
+    np.testing.assert_allclose(x, np.asarray(sol5.x), rtol=2e-2, atol=5e-3)
+
+
+def test_native_mt_matches_sequential():
+    from lqp_py_tpu.cpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = create_qp_data(30, 8, seed=1, dtype=jnp.float64)
+    args = tuple(np.asarray(v, np.float64) for v in data)
+    s1 = native.solve_box_qp_native(*args, eps_abs=1e-8, eps_rel=1e-8,
+                                    n_threads=1)
+    s2 = native.solve_box_qp_native(*args, eps_abs=1e-8, eps_rel=1e-8,
+                                    n_threads=0)
+    np.testing.assert_array_equal(s1["x"], s2["x"])
+    assert s1["status"] == s2["status"] == 0
