@@ -87,3 +87,36 @@ def test_native_mt_matches_sequential():
                                     n_threads=0)
     np.testing.assert_array_equal(s1["x"], s2["x"])
     assert s1["status"] == s2["status"] == 0
+
+
+def test_condensed_kkt_backward_matches_full_jacobian():
+    """The condensed (n x n) KKT backward must agree with the reference's
+    full (3n+m)^2 Jacobian formulation (kept as building blocks in
+    box_qp_grad.make_kkt_jacobian / solve_kkt_backwards)."""
+    from lqp_py_tpu.models import box_qp_grad as bg
+    from lqp_py_tpu import BoxQPConfig, solve_box_qp
+
+    data = create_qp_data(20, 3, seed=7, dtype=jnp.float64)
+    sol = solve_box_qp(*data, config=BoxQPConfig(eps_abs=1e-10,
+                                                 eps_rel=1e-10))
+    key = jax.random.PRNGKey(0)
+    dl = jax.random.normal(key, sol.x.shape, jnp.float64)
+
+    out_c = bg.box_qp_grad_kkt(dl, sol.x, sol.lams, sol.nus,
+                               data.Q, data.A, data.lb, data.ub)
+
+    # full-Jacobian path
+    B, n = sol.x.shape
+    eye = jnp.eye(n, dtype=jnp.float64)
+    G = jnp.broadcast_to(jnp.concatenate([-eye, eye], 0), (B, 2 * n, n))
+    slacks = jnp.clip(jnp.concatenate([sol.x - data.lb, data.ub - sol.x],
+                                      -1), 1e-8, 1e12)
+    lams_c = jnp.clip(sol.lams, 1e-8, None)
+    sol_mat = bg.make_kkt_jacobian(data.Q, G, data.A, lams_c, slacks)
+    dx, dlam, dnu = bg.solve_kkt_backwards(dl, sol_mat, data.A.shape[-2],
+                                           2 * n)
+    out_f = bg.qp_int_grads(sol.x, lams_c, sol.nus, dx, dlam, dnu)
+
+    for c, f in zip(out_c[:4], out_f[:4]):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(f),
+                                   rtol=1e-6, atol=1e-9)
