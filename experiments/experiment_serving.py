@@ -1,0 +1,107 @@
+"""Serving / MPC-style benchmark: repeated solves under slowly drifting
+problem data, cold-start vs warm-start.
+
+The reference's ``BoxQPTH`` class hints at a solve/update/re-solve workflow
+but always cold-starts from zeros (solve_box_qp_admm_torch.py:221-223).
+This framework's ``warm_start`` path re-uses the previous (x, z, u), which
+for a drifting cost vector collapses the iteration count to near the check
+interval — the regime that matters for deployment (control loops, rolling
+re-optimization, RL policy layers).
+
+Run:  python experiments/experiment_serving.py [--n-x 500 --steps 20]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from lqp_py_tpu import BoxQPConfig, solve_box_qp
+from lqp_py_tpu.models.box_qp import prepare_box_qp, solve_box_qp_prepared
+from lqp_py_tpu.utils.generators import create_qp_data
+
+
+def _force(x):
+    jax.block_until_ready(x)
+    return float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-x", type=int, default=500)
+    ap.add_argument("--n-batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--drift", type=float, default=0.02)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    args = ap.parse_args()
+
+    data = create_qp_data(args.n_x, args.n_batch, seed=0, dtype=jnp.float32)
+    Q, p0, A, b, lb, ub = data
+    cfg = BoxQPConfig(eps_abs=args.tol, eps_rel=args.tol)
+
+    @jax.jit
+    def cold(p):
+        s = solve_box_qp(Q, p, A, b, lb, ub, cfg)
+        return s, jnp.sum(s.x)
+
+    # Prepared path: scaling + factorization cached across solves (Q, A,
+    # bounds fixed; only p drifts) + warm-started iterates.
+    prep = prepare_box_qp(Q, A, b, lb, ub, config=cfg)
+
+    @jax.jit
+    def warm(p, prev):
+        s = solve_box_qp_prepared(prep, p, config=cfg, warm_start=prev)
+        return s, jnp.sum(s.x)
+
+    key = jax.random.PRNGKey(1)
+    drifts = jax.random.normal(key, (args.steps,) + p0.shape, jnp.float32)
+
+    # compile
+    sol, c = cold(p0)
+    _force(c)
+    _force(warm(p0, sol)[1])
+
+    results = {"cold": [], "warm": [], "cold_iters": [], "warm_iters": []}
+    prev = sol
+    p = p0
+    for t in range(args.steps):
+        p = p + args.drift * drifts[t]
+
+        t0 = time.perf_counter()
+        s_c, c = cold(p)
+        _force(c)
+        results["cold"].append(time.perf_counter() - t0)
+        results["cold_iters"].append(int(s_c.iterations))
+
+        t0 = time.perf_counter()
+        s_w, c = warm(p, prev)
+        _force(c)
+        results["warm"].append(time.perf_counter() - t0)
+        results["warm_iters"].append(int(s_w.iterations))
+        prev = s_w
+
+    import statistics
+    med_c = statistics.median(results["cold"])
+    med_w = statistics.median(results["warm"])
+    print(f"n_x={args.n_x} batch={args.n_batch} drift={args.drift} "
+          f"tol={args.tol}")
+    print(f"cold: median {med_c*1e3:.1f} ms/solve, "
+          f"iters {statistics.median(results['cold_iters'])}")
+    print(f"warm: median {med_w*1e3:.1f} ms/solve, "
+          f"iters {statistics.median(results['warm_iters'])}  "
+          f"({med_c/med_w:.2f}x faster)")
+
+    with open("exp_serving_results.json", "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "n_x": args.n_x,
+                   "n_batch": args.n_batch, "drift": args.drift,
+                   "tol": args.tol, **results}, f, indent=2)
+    print("wrote exp_serving_results.json")
+
+
+if __name__ == "__main__":
+    main()

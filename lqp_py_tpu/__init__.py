@@ -17,7 +17,12 @@ from lqp_py_tpu.config import (
     optnet_control,
 )
 from lqp_py_tpu.types import BoxQPSolution, EqQPSolution, QPSolution
-from lqp_py_tpu.models.box_qp import solve_box_qp, solve_box_qp_unrolled
+from lqp_py_tpu.models.box_qp import (
+    prepare_box_qp,
+    solve_box_qp,
+    solve_box_qp_prepared,
+    solve_box_qp_unrolled,
+)
 from lqp_py_tpu.models.layers import BoxQP, BoxQPLayer, boxqp
 from lqp_py_tpu.models.eqcon import qp_eqcon, solve_qp_eqcon
 from lqp_py_tpu.models.uncon import qp_uncon, solve_qp_uncon
@@ -31,6 +36,7 @@ __all__ = [
     "box_qp_control", "genqp_control", "optnet_control",
     "BoxQPSolution", "EqQPSolution", "QPSolution",
     "solve_box_qp", "solve_box_qp_unrolled",
+    "prepare_box_qp", "solve_box_qp_prepared",
     "BoxQP", "BoxQPLayer", "boxqp",
     "qp_eqcon", "solve_qp_eqcon", "qp_uncon", "solve_qp_uncon",
     "OptNetLayer", "qp_optnet", "solve_qp_optnet",

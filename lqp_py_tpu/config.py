@@ -148,6 +148,9 @@ class GenQPConfig:
     rho_min: float = 1e-6
     rho_max: float = 1e6
     sigma: float = 1e-6
+    #: Over-relaxation on the splitting variable (1.0 = plain iteration);
+    #: same accelerator as BoxQPConfig.alpha.
+    alpha: float = 1.6
     adaptive_rho: bool = True
     adaptive_rho_tol: float = 5.0
     adaptive_rho_iter: int = 100

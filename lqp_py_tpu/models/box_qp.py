@@ -140,14 +140,73 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     """
     sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config)
     Qs, ps, As, bs, lbs, ubs, D, E = sp
+    factors0 = lin.factorize_kkt(Qs, rho0, As, mode=_mode(config))
+    return _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
+                         p_norm, rho0, factors0, warm_start)
 
+
+class BoxQPPrepared(NamedTuple):
+    """p-independent state of a box-QP family: scaled data + KKT factors.
+
+    Produced by ``prepare_box_qp``; consumed by ``solve_box_qp_prepared``.
+    In serving / MPC workloads where Q, A, b and the bounds are fixed and
+    only p changes between solves, this skips the scaling + factorization
+    (the dominant prep cost) on every call — combined with ``warm_start``
+    the per-solve work collapses to the ADMM iterations themselves.
+    """
+    Qs: jax.Array
+    As: Optional[jax.Array]
+    bs: Optional[jax.Array]
+    lbs: jax.Array
+    ubs: jax.Array
+    D: jax.Array
+    E: Optional[jax.Array]
+    rho0: jax.Array
+    factors: lin.KKTFactors
+
+
+def _mode(config) -> str:
+    mode = config.kkt_solver
+    if mode not in ("inverse", "cholesky"):
+        raise ValueError(f"unknown kkt_solver {mode!r}")
+    return mode
+
+
+@solver_precision
+def prepare_box_qp(Q, A=None, b=None, lb=None, ub=None,
+                   config: BoxQPConfig = BoxQPConfig()) -> BoxQPPrepared:
+    """Precompute everything that does not depend on ``p``: scaling,
+    auto-rho, and the KKT factorization."""
+    p0 = jnp.zeros(jnp.asarray(Q).shape[:-1], jnp.asarray(Q).dtype)
+    sp, _p_norm, rho0, _meta = _prep(Q, p0, A, b, lb, ub, config)
+    factors = lin.factorize_kkt(sp.Q, rho0, sp.A, mode=_mode(config))
+    return BoxQPPrepared(Qs=sp.Q, As=sp.A, bs=sp.b, lbs=sp.lb, ubs=sp.ub,
+                         D=sp.D, E=sp.E, rho0=rho0, factors=factors)
+
+
+@solver_precision
+def solve_box_qp_prepared(prep: BoxQPPrepared, p,
+                          config: BoxQPConfig = BoxQPConfig(),
+                          warm_start=None) -> BoxQPSolution:
+    """Solve for a new cost vector ``p`` against a cached preparation."""
+    pv = as_vector(p, "p").astype(prep.Qs.dtype)
+    p_norm = _inf_norm(pv)
+    ps = prep.D * pv
+    return _solve_scaled(config, prep.Qs, ps, prep.As, prep.bs,
+                         prep.lbs, prep.ubs, prep.D, prep.E,
+                         p_norm, prep.rho0, prep.factors, warm_start)
+
+
+def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
+                  p_norm, rho0, factors_in, warm_start) -> BoxQPSolution:
+    """The ADMM loop on an already-scaled, already-factorized problem."""
+    B, n = ps.shape
+    dtype = ps.dtype
     cs = config.resolved_check_interval(n)
     adaptive_interval = config.resolved_adaptive_interval(n)
     max_iters = int(config.max_iters)
 
-    mode = config.kkt_solver
-    if mode not in ("inverse", "cholesky"):
-        raise ValueError(f"unknown kkt_solver {mode!r}")
+    mode = _mode(config)
 
     # Pallas fused-step path: requires the reduced inverse and pads the
     # variable dimension to the TPU lane width once (padded coordinates are
@@ -164,8 +223,8 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     else:
         ps_p, lbs_p, ubs_p = ps, lbs, ubs
 
-    def factorize(rho):
-        f = lin.factorize_kkt(Qs, rho, As, mode=mode)
+    def _finish(f):
+        """Constant GEMV offset q (and pallas lane padding) for factors."""
         if f.P is not None:
             _, q = lin.kkt_step_operator(f, bs)
             if pad:
@@ -175,7 +234,12 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
             q = jnp.zeros((B, n_pad), dtype)
         return f, q
 
-    factors0, q0 = factorize(rho0)
+    def factorize(rho):
+        return _finish(lin.factorize_kkt(Qs, rho, As, mode=mode))
+
+    # The initial factors come from the caller (possibly cached across
+    # solves via prepare_box_qp) — only q/padding is computed here.
+    factors0, q0 = _finish(factors_in)
 
     # Over-relaxation: with no finite bounds anywhere, the projection is the
     # identity and rho is forced to 0 — the plain iteration converges in one

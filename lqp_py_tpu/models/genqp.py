@@ -189,14 +189,19 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         n_inner = jnp.minimum(jnp.where(st.it == 0, 1, cs),
                               max_iters - st.it)
 
+        alpha = float(config.alpha)
+
         def inner(_, s_):
             x, w, u, nu, w_prev = s_
             rhs = -ps + _mtv(Gs, st.rho[..., None] * (hs - w + u))
             x, nu = lin.kkt_apply(st.factors, rhs, bs)
             s = hs - _mv(Gs, x)
+            # Over-relaxation on the splitting variable (OSQP-style); the
+            # fixed point (s = w) is unchanged.
+            sh = alpha * s + (1.0 - alpha) * w if alpha != 1.0 else s
             w_prev = w
-            w = jnp.maximum(s + u, 0.0)
-            u = u + (s - w)
+            w = jnp.maximum(sh + u, 0.0)
+            u = u + (sh - w)
             return (x, w, u, nu, w_prev)
 
         x, w, u, nu, w_prev = jax.lax.fori_loop(

@@ -74,3 +74,30 @@ def test_profiling_utils():
                                        data.lb, data.ub, CFG).x)
     t = timed(f, data.p, n=2)
     assert t["median_s"] > 0
+
+
+def test_prepared_solve_matches_direct():
+    """prepare_box_qp + solve_box_qp_prepared must reproduce solve_box_qp
+    exactly (same scaled problem, same factors, same loop)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lqp_py_tpu import (BoxQPConfig, prepare_box_qp, solve_box_qp,
+                            solve_box_qp_prepared)
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    data = create_qp_data(35, 4, seed=9, dtype=jnp.float64)
+    cfg = BoxQPConfig(eps_abs=1e-8, eps_rel=1e-8)
+    direct = solve_box_qp(*data, config=cfg)
+    prep = prepare_box_qp(data.Q, data.A, data.b, data.lb, data.ub,
+                          config=cfg)
+    prepared = solve_box_qp_prepared(prep, data.p, config=cfg)
+    np.testing.assert_array_equal(np.asarray(direct.x),
+                                  np.asarray(prepared.x))
+    assert int(direct.iterations) == int(prepared.iterations)
+    # a second solve with a different p against the same preparation
+    p2 = data.p * 0.7 + 0.1
+    s2 = solve_box_qp_prepared(prep, p2, config=cfg, warm_start=prepared)
+    ref2 = solve_box_qp(data.Q, p2, data.A, data.b, data.lb, data.ub,
+                        config=cfg)
+    np.testing.assert_allclose(np.asarray(s2.x), np.asarray(ref2.x),
+                               rtol=1e-6, atol=1e-8)
