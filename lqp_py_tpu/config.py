@@ -145,6 +145,10 @@ class GenQPConfig:
     eps_rel: float = 1e-4
     check_solved: int = 25
     rho: Optional[float] = None
+    #: Multiplier on the auto-rho (||Q||_F / sqrt(n)); 0.3 measured best
+    #: across sizes on the random-SPD family (26 vs 76 iterations at
+    #: n=500/1000 relative to 1.0).
+    rho_scale: float = 0.3
     rho_min: float = 1e-6
     rho_max: float = 1e6
     sigma: float = 1e-6

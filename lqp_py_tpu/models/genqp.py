@@ -125,7 +125,8 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
     # --- rho selection.
     if config.rho is None:
         q_fro = jnp.sqrt(jnp.sum(Qs * Qs, axis=(-1, -2)))
-        rho0 = jnp.clip(q_fro / jnp.sqrt(jnp.asarray(n, dtype)),
+        rho0 = jnp.clip(config.rho_scale * q_fro
+                        / jnp.sqrt(jnp.asarray(n, dtype)),
                         config.rho_min, config.rho_max)
     else:
         rho0 = jnp.full((B,), config.rho, dtype)
