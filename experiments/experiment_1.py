@@ -67,8 +67,12 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
         "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol,
                                backward="fixed_point"),
         "ADMM_KKT": BoxQPConfig(eps_abs=tol, eps_rel=tol, backward="kkt"),
+        # The tuned solver converges in ~21-31 iterations on this family;
+        # 60 static unrolled iterations is a ~2x margin over observed
+        # convergence (the reference's dynamic unroll runs ~61 iterations
+        # at ITS rho defaults — same relative margin).
         "ADMM_Unroll": BoxQPConfig(eps_abs=tol, eps_rel=tol, unroll=True,
-                                   unroll_iters=150, adaptive_rho=False),
+                                   unroll_iters=60, adaptive_rho=False),
     }
     for name, cfg in modes.items():
         f = grad_fn(lambda Q, p, A, b, lb, ub, cfg=cfg:
