@@ -85,6 +85,29 @@ def main():
         results["warm_iters"].append(int(s_w.iterations))
         prev = s_w
 
+    # --- fused rollout: ALL steps inside one jit (lax.scan over drifting
+    # p with warm starts).  This is the TPU-native serving shape — one
+    # dispatch for the whole control horizon — which an eager per-solve
+    # design cannot express.
+    @jax.jit
+    def rollout(p0, drifts, sol0):
+        def step(carry, dp):
+            p, prev = carry
+            p = p + args.drift * dp
+            s = solve_box_qp_prepared(prep, p, config=cfg, warm_start=prev)
+            return (p, s), (jnp.sum(s.x), s.iterations)
+        (_, _), (sums, iters) = jax.lax.scan(step, (p0, sol0), drifts)
+        return sums, iters
+
+    sums, f_iters = rollout(p0, drifts, sol)
+    _force(sums)
+    t0 = time.perf_counter()
+    sums, f_iters = rollout(p0, drifts, sol)
+    _force(sums)
+    t_fused = (time.perf_counter() - t0) / args.steps
+    results["fused_per_solve"] = t_fused
+    results["fused_iters"] = [int(i) for i in f_iters]
+
     import statistics
     med_c = statistics.median(results["cold"])
     med_w = statistics.median(results["warm"])
@@ -95,6 +118,10 @@ def main():
     print(f"warm: median {med_w*1e3:.1f} ms/solve, "
           f"iters {statistics.median(results['warm_iters'])}  "
           f"({med_c/med_w:.2f}x faster)")
+    print(f"fused rollout (one jit for all {args.steps} steps): "
+          f"{t_fused*1e3:.1f} ms/solve, "
+          f"iters {statistics.median(results['fused_iters'])}  "
+          f"({med_c/t_fused:.2f}x faster than cold)")
 
     with open("exp_serving_results.json", "w") as f:
         json.dump({"device": str(jax.devices()[0]), "n_x": args.n_x,
