@@ -109,7 +109,10 @@ class BoxQP:
 
     With ``warm_start=True`` each ``solve()`` reuses the previous solution
     as the starting iterate — the solve/update/re-solve workflow the
-    reference class hints at but never implements."""
+    reference class hints at but never implements.  The scaling and KKT
+    factorization are cached across solves and invalidated only when an
+    ``update()`` touches something other than ``p`` (the serving pattern:
+    repeated solves with a drifting cost vector skip the prep entirely)."""
 
     def __init__(self, Q, p, A=None, b=None, lb=None, ub=None,
                  control: BoxQPConfig = BoxQPConfig(),
@@ -119,12 +122,19 @@ class BoxQP:
         self.control = control
         self.warm_start = warm_start
         self.sol = None
+        self._prep = None
 
     def solve(self):
+        from lqp_py_tpu.models.box_qp import (prepare_box_qp,
+                                              solve_box_qp_prepared)
         ws = self.sol if self.warm_start else None
-        self.sol = solve_box_qp(self.Q, self.p, self.A, self.b,
-                                self.lb, self.ub, self.control,
-                                warm_start=ws)
+        if self._prep is None:
+            self._prep = prepare_box_qp(self.Q, self.A, self.b,
+                                        self.lb, self.ub,
+                                        config=self.control)
+        self.sol = solve_box_qp_prepared(self._prep, self.p,
+                                         config=self.control,
+                                         warm_start=ws)
         return like_layout(self.sol.x, self.p)
 
     def update(self, Q=None, p=None, A=None, b=None, lb=None, ub=None,
@@ -143,3 +153,7 @@ class BoxQP:
             self.ub = ub
         if control is not None:
             self.control = control
+        # p-only updates keep the cached factorization.
+        if any(v is not None for v in (Q, A, b, lb, ub)) or \
+                control is not None:
+            self._prep = None

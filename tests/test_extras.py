@@ -101,3 +101,31 @@ def test_prepared_solve_matches_direct():
                         config=cfg)
     np.testing.assert_allclose(np.asarray(s2.x), np.asarray(ref2.x),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_stateful_boxqp_prep_cache_invalidation():
+    """p-only updates keep the cached factorization; touching anything
+    else invalidates it (serving semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lqp_py_tpu import BoxQP, BoxQPConfig
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    data = create_qp_data(20, 3, seed=12, dtype=jnp.float64)
+    cfg = BoxQPConfig(eps_abs=1e-8, eps_rel=1e-8)
+    qp = BoxQP(*data, control=cfg, warm_start=True)
+    qp.solve()
+    prep1 = qp._prep
+    assert prep1 is not None
+    qp.update(p=data.p * 0.5)
+    qp.solve()
+    assert qp._prep is prep1          # p-only: cache kept
+    qp.update(lb=data.lb - 0.1)
+    assert qp._prep is None           # bounds changed: cache dropped
+    x = qp.solve()
+    # result matches a fresh direct solve
+    from lqp_py_tpu import solve_box_qp
+    ref = solve_box_qp(data.Q, data.p * 0.5, data.A, data.b,
+                       data.lb - 0.1, data.ub, config=cfg)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-6)
