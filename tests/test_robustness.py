@@ -120,3 +120,44 @@ def test_condensed_kkt_backward_matches_full_jacobian():
     for c, f in zip(out_c[:4], out_f[:4]):
         np.testing.assert_allclose(np.asarray(c), np.asarray(f),
                                    rtol=1e-6, atol=1e-9)
+
+
+def test_fuzz_random_shapes_and_bound_patterns():
+    """Property-style sweep: random (n, B, seed, bound pattern, equality
+    on/off, easy/hard generator), solved to 1e-9 and cross-checked against
+    the independent numpy ADMM on element 0."""
+    from lqp_py_tpu import solve_box_qp
+    from lqp_py_tpu.cpu.boxqp_numpy import solve_box_qp_np
+    from lqp_py_tpu.utils.generators import generate_hard_qp
+
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        n = int(rng.integers(2, 50))
+        B = int(rng.integers(1, 5))
+        seed = int(rng.integers(0, 10000))
+        hard = bool(rng.integers(0, 2)) and n >= 10
+        gen = generate_hard_qp if hard else create_qp_data
+        d = gen(n, B, seed=seed, dtype=jnp.float64)
+        Q, p, A, b, lb, ub = [jnp.asarray(v) for v in d[:6]]
+        mode = rng.integers(0, 4)
+        if mode == 1:
+            lb = jnp.full_like(lb, -jnp.inf)
+        elif mode == 2:
+            ub = jnp.full_like(ub, jnp.inf)
+        elif mode == 3:
+            lb, ub = (jnp.full_like(lb, -jnp.inf),
+                      jnp.full_like(ub, jnp.inf))
+        use_eq = bool(rng.integers(0, 2))
+        Aa, ba = (A, b) if use_eq else (None, None)
+        from lqp_py_tpu import BoxQPConfig
+        sol = solve_box_qp(Q, p, Aa, ba, lb, ub,
+                           config=BoxQPConfig(eps_abs=1e-9, eps_rel=1e-9))
+        assert bool(jnp.all(sol.converged)), (n, B, seed, hard, mode)
+        ref = solve_box_qp_np(
+            np.asarray(Q[0]), np.asarray(p[0]),
+            None if Aa is None else np.asarray(A[0]),
+            None if ba is None else np.asarray(b[0]),
+            np.asarray(lb[0]), np.asarray(ub[0]),
+            eps_abs=1e-10, eps_rel=1e-10)
+        dx = float(np.max(np.abs(np.asarray(sol.x[0]) - ref["x"])))
+        assert dx < 1e-5, (n, B, seed, hard, mode, dx)
