@@ -112,17 +112,6 @@ def _prep(Q, p, A, b, lb, ub, config):
     return sp, p_norm, rho, (B, n, dtype)
 
 
-def _admm_iteration(P, q, p, rho, z, u, lb, ub, alpha=1.0):
-    """One scaled (over-relaxed) ADMM iteration.
-    Returns (x, z_new, u_new, r)."""
-    r = -p + rho[..., None] * (z - u)
-    x = jnp.einsum("bij,bj->bi", P, r, preferred_element_type=r.dtype) + q
-    xh = alpha * x + (1.0 - alpha) * z if alpha != 1.0 else x
-    z_new = jnp.clip(xh + u, lb, ub)
-    u_new = u + (xh - z_new)
-    return x, z_new, u_new, r
-
-
 @solver_precision
 def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
                  config: BoxQPConfig = BoxQPConfig(),
