@@ -201,7 +201,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
     # variable dimension to the TPU lane width once (padded coordinates are
     # inert: zero rows/cols of P, p=q=0, bounds +/-inf keep them at 0).
     use_pallas = bool(config.use_pallas_step) and mode == "inverse"
-    n_pad = (-(-n // 128) * 128) if use_pallas else n
+    n_pad = (-(-n // 256) * 256) if use_pallas else n
     pad = n_pad - n
     if pad:
         ps_p = jnp.pad(ps, ((0, 0), (0, pad)))

@@ -1,121 +1,139 @@
-"""Pallas TPU kernel: fused ADMM iteration with per-element early exit.
+"""Pallas TPU kernel: ADMM x-update GEMV with true per-element early exit.
 
-One ADMM iteration of the box-QP solver is
+The lock-step batch semantics of the XLA solver (SURVEY.md §2) make every
+batch element pay for the slowest one: even after an element's residuals
+pass the tolerance, its 4 MB ``P`` panel is re-read from HBM every
+iteration until the whole batch stops.  ``pl.when`` alone cannot fix this —
+BlockSpec-driven prefetch still issues the DMA for predicated-off programs
+(measured: identical runtime at 0% and 50% converged).
 
-    x = P r + q;  z = clip(x + u, lb, ub);  u += x - z;
-    r' = -p + rho (z - u)
+This kernel keeps ``P`` in HBM (``memory_space=ANY``) and issues the tile
+DMAs *manually inside* the predicated region, double-buffered, so a
+converged element's panel is genuinely never read:
 
-XLA already runs the batched GEMV near HBM bandwidth; what it *cannot* do
-is skip work for batch elements that have already converged — the lock-step
-batch semantics (SURVEY.md §2) make every element pay for the slowest one.
-This kernel fuses the whole iteration and predicates each (batch, row-tile)
-program on a per-element ``converged`` flag delivered via scalar prefetch:
-a converged element's P tile is never read from HBM, which directly saves
-the dominant memory traffic on heterogeneous batches (e.g. the hard-QP
-set, where iteration counts vary widely across elements).
+    measured ms/GEMV at (B=128, n=1024) f32 on v5e
+      converged:      0%     50%     90%
+      this kernel    0.84    0.77    0.12
+      XLA einsum     0.69    0.69    0.69
 
-Frozen elements keep their last iterate bitwise (they are at a fixed point
-within tolerance), matching the masked-freeze semantics.
+The row-tile product runs on the VPU (multiply + hierarchical lane-fold
+reduction) because an MXU matvec at f32-faithful precision is 6 bf16
+passes on a 1-column operand — compute-bound at ~1.7 ms (and Mosaic has no
+3-pass HIGH lowering).  f32-exact to ~4e-7.
 
-Measured on v5e: ~parity with XLA's batched GEMV on uniform batches
-(~0.9 ms vs ~0.85 ms per iteration at B=128, n=1024 f32) and a ~100%
-traffic saving for converged elements — the win case is skip-heavy
-heterogeneous batches.  Off by default (``BoxQPConfig.use_pallas_step``).
+Win case: extremely skewed batches where a large fraction of elements is
+converged for most of the run (>=60-70% skip, e.g. a handful of hard
+stragglers in a big batch).  On this repo's benchmark sets the skip
+fraction is lower and the ~0.15 ms/GEMV VPU-matvec penalty wins: measured
+end-to-end on the hard set at n=1024, 267 ms vs 259 ms for the default
+XLA path — hence off by default (``BoxQPConfig.use_pallas_step``).  The
+kernel remains the honest implementation of a capability XLA cannot
+express (conditional HBM traffic), and its advantage grows with n and
+skew.
 
-The kernel requires ``n`` to be a multiple of 128 (lane width); the caller
-(`fused_admm_step`) pads once at factorization time.
+Frozen elements return their previous iterate bitwise (they are at a fixed
+point within tolerance).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 512
+ROW_TILE = 256
 
 
-def _kernel(flags_ref, rho_ref,            # scalar prefetch (SMEM)
-            P_ref, r_ref, rt_ref, x_ref, z_ref, u_ref, p_ref, q_ref,
-            lb_ref, ub_ref, x_out, z_out, u_out, r_out, *, alpha=1.0):
-    # Vector operands arrive as (1, 1, tile) blocks of (B, 1, n) arrays —
-    # TPU block shapes must keep the last two dims (8, 128)-aligned or
-    # equal to the array dims, so the unit middle axis carries the batch
-    # blocking.
+def _kernel(flags_ref, P_hbm, r_ref, x_ref, o_ref, scratch, sems, *, n: int):
     b = pl.program_id(0)
+    nt = n // ROW_TILE
 
     @pl.when(flags_ref[b] == 0)
     def _active():
-        # x tile: (T,) = P_tile (T, n) @ r (n,)
-        P = P_ref[0]                       # (T, n)
-        r = r_ref[0, 0]                    # (n,)
-        x = jax.lax.dot_general(
-            P, r[:, None], (((1,), (0,)), ((), ())),
-            preferred_element_type=r.dtype)[:, 0] + q_ref[0, 0]
-        u = u_ref[0, 0]
-        xh = alpha * x + (1.0 - alpha) * z_ref[0, 0] if alpha != 1.0 else x
-        z = jnp.clip(xh + u, lb_ref[0, 0], ub_ref[0, 0])
-        u = u + (xh - z)
-        rho = rho_ref[b]
-        x_out[0, 0] = x
-        z_out[0, 0] = z
-        u_out[0, 0] = u
-        r_out[0, 0] = -p_ref[0, 0] + rho * (z - u)
+        rv = r_ref[0, 0]                                  # (n,)
+
+        def get_dma(slot, t):
+            return pltpu.make_async_copy(
+                P_hbm.at[b, pl.ds(t * ROW_TILE, ROW_TILE), :],
+                scratch.at[slot],
+                sems.at[slot])
+
+        get_dma(0, 0).start()
+
+        def body(t, _):
+            slot = t % 2
+            nxt = (t + 1) % 2
+
+            @pl.when(t + 1 < nt)
+            def _():
+                get_dma(nxt, t + 1).start()
+
+            get_dma(slot, t).wait()
+            prod = scratch[slot] * rv[None, :]
+            # Hierarchical reduction: fold lane groups with cheap vector
+            # adds first, then one short lane-reduction per row tile.
+            seg = jnp.sum(jnp.sum(prod.reshape(ROW_TILE, n // 128, 128),
+                                  axis=1), axis=1)
+            o_ref[0, 0, pl.ds(t * ROW_TILE, ROW_TILE)] = seg
+            return 0
+
+        jax.lax.fori_loop(0, nt, body, 0)
 
     @pl.when(flags_ref[b] != 0)
     def _frozen():
-        x_out[0, 0] = x_ref[0, 0]
-        z_out[0, 0] = z_ref[0, 0]
-        u_out[0, 0] = u_ref[0, 0]
-        r_out[0, 0] = rt_ref[0, 0]
+        o_ref[0, 0, :] = x_ref[0, 0, :]
+
+
+def gemv_early_exit(P, r, x_prev, converged):
+    """``x[b] = P[b] @ r[b]`` for non-converged elements; ``x_prev[b]``
+    (bitwise) for converged ones — whose P panel is never read from HBM.
+
+    P (B, n, n) f32 with n a multiple of 256; r/x_prev (B, n);
+    converged (B,) bool.
+    """
+    import functools
+    B, n = r.shape
+    if n % ROW_TILE != 0:
+        raise ValueError(f"gemv_early_exit requires n % {ROW_TILE} == 0, "
+                         f"got {n}")
+    out = pl.pallas_call(
+        functools.partial(_kernel, n=n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),              # P (HBM)
+                pl.BlockSpec((1, 1, n), lambda b, *_: (b, 0, 0)),  # r
+                pl.BlockSpec((1, 1, n), lambda b, *_: (b, 0, 0)),  # x_prev
+            ],
+            out_specs=pl.BlockSpec((1, 1, n), lambda b, *_: (b, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((2, ROW_TILE, n), P.dtype),
+                            pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, n), r.dtype),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(converged.astype(jnp.int32), P, r[:, None, :], x_prev[:, None, :])
+    return out[:, 0, :]
 
 
 def fused_admm_step(P, r, x, z, u, p, q, lb, ub, rho, converged,
-                    tile: int = DEFAULT_TILE, alpha: float = 1.0):
-    """One fused (optionally over-relaxed) ADMM iteration.  All arrays
-    (B, n)/(B, n, n); ``n`` must be a multiple of 128.  ``converged`` is a
-    (B,) bool mask; ``rho`` (B,); ``alpha`` a static relaxation factor.
+                    alpha: float = 1.0, **_ignored):
+    """One ADMM iteration with per-element early exit: the x-update GEMV
+    skips converged elements' HBM traffic (the dominant cost); the cheap
+    elementwise z/u updates freeze them with ``where``.
 
+    All arrays (B, n)/(B, n, n); ``n`` must be a multiple of 256.
     Returns (x', z', u', r').
     """
-    B, n = r.shape
-    if n % 128 != 0:
-        raise ValueError(f"fused_admm_step requires n % 128 == 0, got {n}")
-    tile = min(tile, n)
-    while n % tile != 0:
-        tile //= 2
-    n_tiles = n // tile
-
-    dtype = r.dtype
-    flags = converged.astype(jnp.int32)
-    rho = rho.astype(dtype)
-
-    # Vectors as (B, 1, n) so block shapes stay (8,128)-aligned.
-    r3, x3, z3, u3, p3, q3, lb3, ub3 = (
-        v[:, None, :] for v in (r, x, z, u, p, q, lb, ub))
-
-    vec_tile = pl.BlockSpec((1, 1, tile), lambda b, i, *_: (b, 0, i))
-    vec_full = pl.BlockSpec((1, 1, n), lambda b, i, *_: (b, 0, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile, n), lambda b, i, *_: (b, i, 0)),   # P
-            vec_full,                                                 # r (dot)
-            vec_tile,                                                 # r (tile)
-            vec_tile, vec_tile, vec_tile,                             # x z u
-            vec_tile, vec_tile, vec_tile, vec_tile,                   # p q lb ub
-        ],
-        out_specs=[vec_tile, vec_tile, vec_tile, vec_tile],
-    )
-    shape = jax.ShapeDtypeStruct((B, 1, n), dtype)
-    outs = pl.pallas_call(
-        functools.partial(_kernel, alpha=float(alpha)),
-        grid_spec=grid_spec,
-        out_shape=[shape, shape, shape, shape],
-        interpret=jax.devices()[0].platform == "cpu",
-    )(flags, rho, P, r3, r3, x3, z3, u3, p3, q3, lb3, ub3)
-    return tuple(o[:, 0, :] for o in outs)
+    xk = gemv_early_exit(P, r, x, converged) + jnp.where(
+        converged[:, None], 0.0, q)
+    # For frozen elements gemv returns x (without q); re-freeze exactly.
+    x_new = jnp.where(converged[:, None], x, xk)
+    xh = alpha * x_new + (1.0 - alpha) * z if alpha != 1.0 else x_new
+    z_new = jnp.where(converged[:, None], z,
+                      jnp.clip(xh + u, lb, ub))
+    u_new = jnp.where(converged[:, None], u, u + (xh - z_new))
+    r_new = jnp.where(converged[:, None], r,
+                      -p + rho[..., None] * (z_new - u_new))
+    return x_new, z_new, u_new, r_new
