@@ -110,8 +110,10 @@ def main():
     ap.add_argument("--n-batch", type=int, default=128)
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--n-sims", type=int, default=5)
-    ap.add_argument("--max-ip-size", type=int, default=250,
-                    help="skip the O(n_ineq^3)-per-iter IP above this size")
+    ap.add_argument("--max-ip-size", type=int, default=10_000,
+                    help="skip the interior-point solver above this size "
+                         "(the condensed n x n factorization completes at "
+                         "every reference size; cap kept as an escape hatch)")
     args = ap.parse_args()
 
     results = {}

@@ -44,8 +44,12 @@ def main():
     Q, p0, A, b, lb, ub = data
     cfg = BoxQPConfig(eps_abs=args.tol, eps_rel=args.tol)
 
+    # All problem arrays (and the prepared state, a pytree) are jit
+    # ARGUMENTS, not closure captures: closing over the B x n x n factors
+    # would bake them into the HLO as constants and blow the remote-compile
+    # payload limit at larger sizes.
     @jax.jit
-    def cold(p):
+    def cold(Q, p, A, b, lb, ub):
         s = solve_box_qp(Q, p, A, b, lb, ub, cfg)
         return s, jnp.sum(s.x)
 
@@ -54,7 +58,7 @@ def main():
     prep = prepare_box_qp(Q, A, b, lb, ub, config=cfg)
 
     @jax.jit
-    def warm(p, prev):
+    def warm(prep, p, prev):
         s = solve_box_qp_prepared(prep, p, config=cfg, warm_start=prev)
         return s, jnp.sum(s.x)
 
@@ -62,9 +66,9 @@ def main():
     drifts = jax.random.normal(key, (args.steps,) + p0.shape, jnp.float32)
 
     # compile
-    sol, c = cold(p0)
+    sol, c = cold(Q, p0, A, b, lb, ub)
     _force(c)
-    _force(warm(p0, sol)[1])
+    _force(warm(prep, p0, sol)[1])
 
     results = {"cold": [], "warm": [], "cold_iters": [], "warm_iters": []}
     prev = sol
@@ -73,13 +77,13 @@ def main():
         p = p + args.drift * drifts[t]
 
         t0 = time.perf_counter()
-        s_c, c = cold(p)
+        s_c, c = cold(Q, p, A, b, lb, ub)
         _force(c)
         results["cold"].append(time.perf_counter() - t0)
         results["cold_iters"].append(int(s_c.iterations))
 
         t0 = time.perf_counter()
-        s_w, c = warm(p, prev)
+        s_w, c = warm(prep, p, prev)
         _force(c)
         results["warm"].append(time.perf_counter() - t0)
         results["warm_iters"].append(int(s_w.iterations))
@@ -90,7 +94,7 @@ def main():
     # dispatch for the whole control horizon — which an eager per-solve
     # design cannot express.
     @jax.jit
-    def rollout(p0, drifts, sol0):
+    def rollout(prep, p0, drifts, sol0):
         def step(carry, dp):
             p, prev = carry
             p = p + args.drift * dp
@@ -99,10 +103,10 @@ def main():
         (_, _), (sums, iters) = jax.lax.scan(step, (p0, sol0), drifts)
         return sums, iters
 
-    sums, f_iters = rollout(p0, drifts, sol)
+    sums, f_iters = rollout(prep, p0, drifts, sol)
     _force(sums)
     t0 = time.perf_counter()
-    sums, f_iters = rollout(p0, drifts, sol)
+    sums, f_iters = rollout(prep, p0, drifts, sol)
     _force(sums)
     t_fused = (time.perf_counter() - t0) / args.steps
     results["fused_per_solve"] = t_fused

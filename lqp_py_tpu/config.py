@@ -131,6 +131,13 @@ class OptNetConfig:
     #: 'mean' | 'max'.
     reduce: str = "max"
     int_reg: float = 1e-6
+    #: Per-iteration factorization strategy:
+    #:   'schur'     - reference shape (optnet.py:281-296): invert the
+    #:                 ni x ni inequality-Schur block each iteration.
+    #:   'condensed' - invert the n x n ``Q + G' diag(d) G`` each iteration
+    #:                 (8x fewer FLOPs for the box shape G = [-I; I]).
+    #:   'auto'      - condensed iff n_ineq > n_x.
+    factor: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +166,9 @@ class GenQPConfig:
     adaptive_rho_tol: float = 5.0
     adaptive_rho_iter: int = 100
     adaptive_rho_max_iter: int = 4000
+    #: Converged-enough elements (both residuals below max(tol, this)) are
+    #: excluded from rho updates — same gate as BoxQPConfig.
+    adaptive_rho_threshold: float = 1e-5
     verbose: bool = False
     scale: bool = True
     #: Backward mode: 'conic' (SCS-style projection-derivative implicit

@@ -134,7 +134,11 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
                          p_norm, rho0, factors0, warm_start)
 
 
-class BoxQPPrepared(NamedTuple):
+from flax import struct as _struct
+
+
+@_struct.dataclass
+class BoxQPPrepared:
     """p-independent state of a box-QP family: scaled data + KKT factors.
 
     Produced by ``prepare_box_qp``; consumed by ``solve_box_qp_prepared``.
@@ -142,6 +146,11 @@ class BoxQPPrepared(NamedTuple):
     only p changes between solves, this skips the scaling + factorization
     (the dominant prep cost) on every call — combined with ``warm_start``
     the per-solve work collapses to the ADMM iterations themselves.
+
+    ``mode`` records the ``kkt_solver`` the factors were built for (static
+    pytree metadata, so the object stays a valid jit argument); mixing it
+    with a different solve-time config raises instead of dereferencing a
+    None factor deep inside the loop.
     """
     Qs: jax.Array
     As: Optional[jax.Array]
@@ -152,6 +161,7 @@ class BoxQPPrepared(NamedTuple):
     E: Optional[jax.Array]
     rho0: jax.Array
     factors: lin.KKTFactors
+    mode: str = _struct.field(pytree_node=False, default="inverse")
 
 
 def _mode(config) -> str:
@@ -168,9 +178,11 @@ def prepare_box_qp(Q, A=None, b=None, lb=None, ub=None,
     auto-rho, and the KKT factorization."""
     p0 = jnp.zeros(jnp.asarray(Q).shape[:-1], jnp.asarray(Q).dtype)
     sp, _p_norm, rho0, _meta = _prep(Q, p0, A, b, lb, ub, config)
-    factors = lin.factorize_kkt(sp.Q, rho0, sp.A, mode=_mode(config))
+    mode = _mode(config)
+    factors = lin.factorize_kkt(sp.Q, rho0, sp.A, mode=mode)
     return BoxQPPrepared(Qs=sp.Q, As=sp.A, bs=sp.b, lbs=sp.lb, ubs=sp.ub,
-                         D=sp.D, E=sp.E, rho0=rho0, factors=factors)
+                         D=sp.D, E=sp.E, rho0=rho0, factors=factors,
+                         mode=mode)
 
 
 @solver_precision
@@ -178,6 +190,11 @@ def solve_box_qp_prepared(prep: BoxQPPrepared, p,
                           config: BoxQPConfig = BoxQPConfig(),
                           warm_start=None) -> BoxQPSolution:
     """Solve for a new cost vector ``p`` against a cached preparation."""
+    if prep.mode != _mode(config):
+        raise ValueError(
+            f"BoxQPPrepared was built with kkt_solver={prep.mode!r} but the "
+            f"solve config requests {config.kkt_solver!r}; re-run "
+            f"prepare_box_qp with the matching config")
     pv = as_vector(p, "p").astype(prep.Qs.dtype)
     p_norm = _inf_norm(pv)
     ps = prep.D * pv
@@ -351,6 +368,10 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             a = float(config.alpha)
             u_prev = u - (a * x + (1.0 - a) * z_prev - z)
             last_r = -ps_p + st.rho[..., None] * (z_prev - u_prev)
+            # Frozen (converged) elements never executed the dual update the
+            # reconstruction inverts — keep the r that actually produced
+            # their x instead of a value perturbed by O(rho*alpha*tol).
+            last_r = jnp.where(st.is_optimal[:, None], st.last_r, last_r)
 
         if pad:
             xs_c, zs_c, us_c, zp_c = (v[:, :n] for v in (x, z, u, z_prev))

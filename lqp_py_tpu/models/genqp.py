@@ -76,6 +76,7 @@ class _GenState(NamedTuple):
     dual_error: jax.Array
     tolp_norm: jax.Array
     told_norm: jax.Array
+    do_rho_update: jax.Array
     is_optimal: jax.Array
 
 
@@ -158,6 +159,7 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         dual_error=jnp.full((B,), jnp.inf, dtype),
         tolp_norm=jnp.ones((B,), dtype),
         told_norm=jnp.ones((B,), dtype),
+        do_rho_update=jnp.full((B,), bool(config.adaptive_rho)),
         is_optimal=jnp.zeros((B,), bool),
     )
 
@@ -166,15 +168,26 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         den = jnp.maximum(st.dual_error / st.told_norm, _ZERO_CLAMP)
         ratio = jnp.sqrt(num / den)
         tol = jnp.asarray(config.adaptive_rho_tol, dtype)
-        outside = jnp.any(ratio > tol) | jnp.any(ratio < 1.0 / tol)
+        # Per-element update gate (same as the box solver,
+        # models/box_qp.py): an element only moves when ITS OWN
+        # primal/dual ratio is outside the band AND it is not already
+        # converged-enough.  Rescaling every element whenever any one trips
+        # destabilizes elements whose rho is already balanced (measured
+        # 31 -> 1191 iterations on the hard box set).
+        el_outside = (ratio > tol) | (ratio < 1.0 / tol)
+        upd_mask = st.do_rho_update & el_outside
         window = ((st.it >= adaptive_interval)
                   & (st.it < config.adaptive_rho_max_iter)
                   & ((st.it % adaptive_interval) < cs))
-        pred = window & outside & ~jnp.all(st.is_optimal)
+        pred = window & jnp.any(upd_mask)
 
         def upd(_):
-            rho_new = jnp.clip(st.rho * ratio, config.rho_min, config.rho_max)
-            # rho changes rescale the dual estimate u = lambda / rho.
+            rho_new = jnp.where(
+                upd_mask,
+                jnp.clip(st.rho * ratio, config.rho_min, config.rho_max),
+                st.rho)
+            # rho changes rescale the dual estimate u = lambda / rho
+            # (identity for non-updated elements, whose rho is unchanged).
             u_new = st.u * (st.rho / rho_new)[..., None]
             return rho_new, factorize(rho_new), u_new
 
@@ -227,6 +240,9 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         tol_primal = eps_abs + eps_rel * tolp_norm
         tol_dual = eps_abs + eps_rel * told_norm
         is_optimal = (primal_error < tol_primal) & (dual_error < tol_dual)
+        thr = jnp.asarray(config.adaptive_rho_threshold, dtype)
+        do_rho_update = ((primal_error > jnp.maximum(tol_primal, thr))
+                         | (dual_error > jnp.maximum(tol_dual, thr)))
 
         if config.verbose:
             jax.debug.print("genqp iter={it} primal={pe:.3e} dual={de:.3e}",
@@ -236,6 +252,7 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         return st._replace(it=st.it + n_inner, x=x, w=w, u=u, nu=nu,
                            primal_error=primal_error, dual_error=dual_error,
                            tolp_norm=tolp_norm, told_norm=told_norm,
+                           do_rho_update=do_rho_update,
                            is_optimal=is_optimal)
 
     def cond(st: _GenState):

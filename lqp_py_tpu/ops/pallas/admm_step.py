@@ -97,13 +97,22 @@ def gemv_early_exit(P, r, x_prev, converged):
     if n % ROW_TILE != 0:
         raise ValueError(f"gemv_early_exit requires n % {ROW_TILE} == 0, "
                          f"got {n}")
+    # VMEM budget: double-buffered P scratch (2 * ROW_TILE * n) plus three
+    # (1, 1, n) operand blocks must leave headroom under the 16 MB Mosaic
+    # ceiling; past it Mosaic fails at compile with an opaque error.
+    vmem_bytes = (2 * ROW_TILE * n + 4 * n) * P.dtype.itemsize
+    if vmem_bytes > 12 * 1024 * 1024:
+        raise ValueError(
+            f"gemv_early_exit scratch ({vmem_bytes/2**20:.1f} MiB at n={n}) "
+            f"exceeds the safe VMEM budget (12 MiB); use the XLA einsum "
+            f"path (use_pallas_step=False) at this size")
     out = pl.pallas_call(
         functools.partial(_kernel, n=n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),              # P (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),                 # P (HBM)
                 pl.BlockSpec((1, 1, n), lambda b, *_: (b, 0, 0)),  # r
                 pl.BlockSpec((1, 1, n), lambda b, *_: (b, 0, 0)),  # x_prev
             ],

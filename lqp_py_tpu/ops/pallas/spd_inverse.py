@@ -110,11 +110,26 @@ def sweep_spd_inverse(H, tile_b: int = _DEF_TILE_B, interpret=None):
     of 8 that fits VMEM).  Returns H^-1 with the same shape/dtype."""
     B, m, m2 = H.shape
     assert m == m2, H.shape
-    g = min(tile_b, B)
-    while B % g != 0:
-        g -= 1
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    g = min(tile_b, B)
+    if not interpret:
+        # Mosaic compiles (and the remote compile service caches) one
+        # program per BLOCK SHAPE.  A novel block shape costs minutes of
+        # cold compile (measured: ~10 min for (1, 128, 128) when a prime
+        # batch made g fall to 1), so on hardware the batch is padded with
+        # identity blocks up to a multiple of the canonical tile instead of
+        # ever shrinking the tile: every call site shares the single
+        # (tile_b, m, m) kernel instantiation.
+        g = tile_b
+        pad = -(-B // g) * g - B
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(m, dtype=H.dtype), (pad, m, m))
+            Hp = jnp.concatenate([H, eye], axis=0)
+            return sweep_spd_inverse(Hp, tile_b, interpret)[:B]
+    else:
+        while B % g != 0:
+            g -= 1
     # (input_output_aliases was tried here: Mosaic still allocates both
     # block buffers, so it saves no VMEM — and it breaks JVP tracing when a
     # differentiated program merely passes through the kernel.)

@@ -8,9 +8,10 @@ Two styles:
   path (works for the backward pass too, since the implicit VJP is just
   more batched linear algebra).
 - ``solve_box_qp_shard_map``: explicit shard_map over the 'dp' axis for
-  users who want manual control; the per-shard while loop runs a *local*
-  convergence test combined with ``jax.lax.pmin`` so all shards exit
-  together (lock-step semantics identical to the single-chip solver).
+  users who want manual control; each shard runs a purely *local*
+  convergence test and may exit at a different iteration count (the
+  per-element ADMM states are independent, so results match the lock-step
+  global solve — see the function docstring).
 """
 
 from __future__ import annotations

@@ -86,6 +86,133 @@ def test_genqp_grads_vs_admm_layer(backward):
                                    err_msg=f"genqp({backward}) vs admm {name}")
 
 
+def _general_data(seed, B=3, n=10, ni=7, m=2):
+    """Random non-box inequalities around a strictly feasible point (the
+    recipe of tests/test_optnet.py) — the shape that distinguishes the
+    general solver from the box solver."""
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+    L = jax.random.normal(ks[0], (B, 2 * n, n), jnp.float64)
+    Q = jnp.einsum("bsi,bsj->bij", L, L) / (2 * n) \
+        + 0.1 * jnp.eye(n, dtype=jnp.float64)
+    p = jax.random.normal(ks[1], (B, n), jnp.float64)
+    A = jax.random.normal(ks[2], (B, m, n), jnp.float64)
+    x0 = jax.random.normal(ks[3], (B, n), jnp.float64)
+    b = jnp.einsum("bmi,bi->bm", A, x0)
+    G = jax.random.normal(ks[4], (B, ni, n), jnp.float64)
+    h = jnp.einsum("bki,bi->bk", G, x0) \
+        + jax.random.uniform(ks[5], (B, ni), jnp.float64, 0.5, 1.5)
+    return Q, p, A, b, G, h
+
+
+def test_genqp_general_G_kkt_and_ip_agreement():
+    """Non-box G: KKT-residual oracle + agreement with the interior-point
+    solver on the same data."""
+    from lqp_py_tpu.models.optnet import solve_qp_optnet
+    from lqp_py_tpu import OptNetConfig
+    Q, p, A, b, G, h = _general_data(7)
+    sol = solve_qp_gen(Q, p, A, b, G, h, config=_cfg())
+    assert bool(jnp.all(sol.converged)), (
+        int(sol.iterations), float(sol.primal_residual.max()),
+        float(sol.dual_residual.max()))
+    stat = (jnp.einsum("bij,bj->bi", Q, sol.x) + p
+            + jnp.einsum("bki,bk->bi", G, sol.lams)
+            + jnp.einsum("bmi,bm->bi", A, sol.nus))
+    assert float(jnp.max(jnp.abs(stat))) < 5e-4
+    assert float(jnp.max(jnp.abs(
+        jnp.einsum("bmi,bi->bm", A, sol.x) - b))) < 1e-5
+    assert float(jnp.max(jnp.einsum("bki,bi->bk", G, sol.x) - h)) < 1e-5
+    assert float(jnp.max(sol.lams * sol.slacks)) < 1e-4
+
+    ip = solve_qp_optnet(Q, p, A, b, G, h,
+                         config=OptNetConfig(tol=1e-10, max_iters=80))
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ip.x),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("backward", ["kkt", "conic"])
+def test_genqp_general_G_grads_vs_finite_difference(backward):
+    """Finite-difference gradcheck of both implicit backwards on non-box G
+    (all of Q, p, G, h)."""
+    Q, p, A, b, G, h = _general_data(8, B=2, n=8, ni=5, m=2)
+    cfg = _cfg(eps_abs=1e-11, eps_rel=1e-11, backward=backward)
+    w = jax.random.normal(jax.random.PRNGKey(9), p.shape, jnp.float64)
+
+    @jax.jit
+    def loss(Q_, p_, G_, h_):
+        x = qp_gen(Q_, p_, A, b, G_, h_, config=cfg)
+        return jnp.sum(w * x)
+
+    gQ, gp, gG, gh = jax.grad(loss, argnums=(0, 1, 2, 3))(Q, p, G, h)
+
+    eps = 1e-6
+    rng = np.random.RandomState(1)
+    Q0, p0, G0, h0 = (np.asarray(v, np.float64) for v in (Q, p, G, h))
+
+    # Q on the symmetric manifold: perturb (i,j) and (j,i) together.
+    gQn = np.asarray(gQ)
+    for _ in range(4):
+        bi = rng.randint(0, Q0.shape[0])
+        i, j = rng.randint(0, Q0.shape[1], size=2)
+        Qp, Qm = Q0.copy(), Q0.copy()
+        Qp[bi, i, j] += eps
+        Qm[bi, i, j] -= eps
+        if i != j:
+            Qp[bi, j, i] += eps
+            Qm[bi, j, i] -= eps
+        fd = (float(loss(jnp.asarray(Qp), p, G, h))
+              - float(loss(jnp.asarray(Qm), p, G, h))) / (2 * eps)
+        want = gQn[bi, i, j] + (gQn[bi, j, i] if i != j else 0.0)
+        np.testing.assert_allclose(want, fd, rtol=1e-2, atol=1e-4)
+
+    for argi, (arr, g) in enumerate(
+            [(p0, np.asarray(gp)), (G0, np.asarray(gG)),
+             (h0, np.asarray(gh))], start=1):
+        for _ in range(4):
+            idx = tuple(rng.randint(0, s) for s in arr.shape)
+            ap, am = arr.copy(), arr.copy()
+            ap[idx] += eps
+            am[idx] -= eps
+            args_p = [Q, p, G, h]
+            args_m = [Q, p, G, h]
+            args_p[argi] = jnp.asarray(ap)
+            args_m[argi] = jnp.asarray(am)
+            fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+            np.testing.assert_allclose(
+                g[idx], fd, rtol=1e-2, atol=1e-4,
+                err_msg=f"genqp({backward}) fd arg {argi} idx {idx}")
+
+
+def test_genqp_heterogeneous_batch_rho_gate():
+    """A batch mixing an easy and an ill-conditioned element: the
+    per-element adaptive-rho gate must converge both without the
+    all-elements rescale destabilizing the easy one."""
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 4)
+    n, ni = 12, 8
+    # Easy element: well-conditioned SPD.  Hard element: condition ~1e4.
+    L = jax.random.normal(ks[0], (2, 2 * n, n), jnp.float64)
+    Q = jnp.einsum("bsi,bsj->bij", L, L) / (2 * n)
+    scale = jnp.concatenate([jnp.ones((n,)),
+                             jnp.logspace(0, 4, n)]).reshape(2, n)
+    Q = Q * scale[:, :, None] * scale[:, None, :] \
+        + 1e-3 * jnp.eye(n, dtype=jnp.float64)
+    p = jax.random.normal(ks[1], (2, n), jnp.float64)
+    x0 = jax.random.normal(ks[2], (2, n), jnp.float64)
+    G = jax.random.normal(ks[3], (2, ni, n), jnp.float64)
+    h = jnp.einsum("bki,bi->bk", G, x0) + 0.5
+    sol = solve_qp_gen(Q, p, None, None, G, h,
+                       config=_cfg(eps_abs=1e-8, eps_rel=1e-8))
+    assert bool(jnp.all(sol.converged)), (
+        int(sol.iterations),
+        [float(v) for v in sol.primal_residual],
+        [float(v) for v in sol.dual_residual])
+    stat = (jnp.einsum("bij,bj->bi", Q, sol.x) + p
+            + jnp.einsum("bki,bk->bi", G, sol.lams))
+    # Scale-relative stationarity check (Q entries span ~1e8).
+    assert float(jnp.max(jnp.abs(stat))) < 1e-3 * float(jnp.max(jnp.abs(Q)))
+
+
 def test_genqp_jit():
     data, G, h = _data_Gh(10, 2, seed=5)
     cfg = _cfg()

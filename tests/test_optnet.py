@@ -74,6 +74,35 @@ def test_optnet_general_inequalities():
     assert float(jnp.max(lam * s)) < 1e-6
 
 
+def test_optnet_factor_modes_agree():
+    """'condensed' and 'schur' solve the same Newton system with different
+    algebra — solutions and implicit gradients must match."""
+    data, G, h = _data_Gh(16, 3, seed=9)
+    w = jax.random.normal(jax.random.PRNGKey(12), data.p.shape, jnp.float64)
+    sols, grads = {}, {}
+    for mode in ("condensed", "schur"):
+        cfg = OptNetConfig(tol=1e-10, max_iters=80, factor=mode)
+        sols[mode] = solve_qp_optnet(data.Q, data.p, data.A, data.b, G, h,
+                                     config=cfg)
+
+        def loss(Q, p, cfg=cfg):
+            return jnp.sum(w * qp_optnet(Q, p, data.A, data.b, G, h,
+                                         config=cfg))
+
+        grads[mode] = jax.grad(loss, argnums=(0, 1))(data.Q, data.p)
+
+    assert bool(jnp.all(sols["condensed"].converged))
+    np.testing.assert_allclose(np.asarray(sols["condensed"].x),
+                               np.asarray(sols["schur"].x),
+                               rtol=1e-6, atol=1e-8)
+    # The modes regularize different blocks (int_reg on the n x n H vs the
+    # ni x ni Schur complement), so agreement is to O(int_reg) = 1e-6.
+    for a, b_, name in zip(grads["condensed"], grads["schur"], ["Q", "p"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=2e-5,
+                                   err_msg=f"factor-mode grads: {name}")
+
+
 def test_optnet_grads_vs_finite_difference():
     data, G, h = _data_Gh(6, 2, seed=3)
     cfg = OptNetConfig(tol=1e-11, max_iters=80)
