@@ -124,8 +124,28 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
         float(chained(Q, p, dp))
         dev_times.append((time.perf_counter() - t0) / K)
 
+    # Mosaic sweep-path accuracy, asserted on DEVICE each round: CI runs the
+    # pallas kernels in interpret mode only, so a Mosaic regression could
+    # otherwise hide behind a still-converging solver.
+    from lqp_py_tpu.ops.linalg import spd_inverse_fast
+
+    @jax.jit
+    def sweep_residual(Q):
+        eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
+        H = Q + eye
+        Hi = spd_inverse_fast(H)
+        R = jnp.einsum("bij,bjk->bik", H, Hi, precision="highest",
+                       preferred_element_type=Q.dtype) - eye
+        return jnp.max(jnp.abs(R))
+
+    sweep_res = float(sweep_residual(Q))
+    assert sweep_res < 1e-2, (
+        f"sweep-path inverse residual {sweep_res:.3e} at n={n_x} — Mosaic "
+        f"kernel regression")
+
     return {
         "n_x": n_x, "n_batch": n_batch, "tol": tol,
+        "sweep_residual_inf": sweep_res,
         "fwd_s": statistics.median(fwd_times),
         "total_s": statistics.median(tot_times),
         "device_total_s": statistics.median(dev_times),

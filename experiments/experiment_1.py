@@ -39,14 +39,35 @@ def _force(tree):
     _ = float(jnp.ravel(jnp.asarray(leaf))[0])
 
 
-def time_fn(f, *args, n_sims):
-    _force(f(*args))  # compile
-    ts = []
-    for _ in range(n_sims):
+def time_split(fwd_fn, tot_fn, data_for_seed, n_sims):
+    """Reference protocol (/root/reference/experiments/experiment_1.py:55-101):
+    fresh problem data per sim (seed=i), forward and forward+backward timed
+    separately, median over sims with ~95% error bars (1.96 std/sqrt(n)).
+    Backward = total - forward (JAX residual-reuse makes an isolated
+    backward timing impossible without re-running the forward)."""
+    args0 = data_for_seed(0)
+    _force(fwd_fn(*args0))   # compile
+    _force(tot_fn(*args0))
+    fwd_ts, tot_ts = [], []
+    for i in range(n_sims):
+        args = data_for_seed(i)
+        jax.block_until_ready(args)   # exclude generation/transfer
         t0 = time.perf_counter()
-        _force(f(*args))
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
+        _force(fwd_fn(*args))
+        fwd_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _force(tot_fn(*args))
+        tot_ts.append(time.perf_counter() - t0)
+
+    def med(ts):
+        return statistics.median(ts)
+
+    def ci(ts):
+        return 1.96 * statistics.pstdev(ts) / len(ts) ** 0.5
+
+    return {"fwd": med(fwd_ts), "bwd": med(tot_ts) - med(fwd_ts),
+            "total": med(tot_ts),
+            "fwd_ci": ci(fwd_ts), "total_ci": ci(tot_ts)}
 
 
 def grad_fn(layer_call):
@@ -59,9 +80,16 @@ def grad_fn(layer_call):
 
 
 def run_size(n_x, n_batch, tol, n_sims, include_ip):
-    data = create_qp_data(n_x, n_batch, seed=0, dtype=jnp.float32)
-    Q, p, A, b, lb, ub = data
     out = {}
+
+    def box_data(seed):
+        return tuple(create_qp_data(n_x, n_batch, seed=seed,
+                                    dtype=jnp.float32))
+
+    def gh_data(seed):
+        data = create_qp_data(n_x, n_batch, seed=seed, dtype=jnp.float32)
+        G, h = data.with_G_h()
+        return (data.Q, data.p, data.A, data.b, G, h)
 
     modes = {
         "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol,
@@ -75,30 +103,33 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
                                    unroll_iters=60, adaptive_rho=False),
     }
     for name, cfg in modes.items():
-        f = grad_fn(lambda Q, p, A, b, lb, ub, cfg=cfg:
-                    boxqp(Q, p, A, b, lb, ub, config=cfg))
-        out[name] = time_fn(f, Q, p, A, b, lb, ub, n_sims=n_sims)
+        call = lambda Q, p, A, b, lb, ub, cfg=cfg: boxqp(
+            Q, p, A, b, lb, ub, config=cfg)
+        fwd = jax.jit(lambda *a, call=call: jnp.sum(call(*a)))
+        out[name] = time_split(fwd, grad_fn(call), box_data, n_sims)
 
-    G, h = data.with_G_h()
     gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol)
-    f = grad_fn(lambda Q, p, A, b, G, h:
-                qp_gen(Q, p, A, b, G, h, config=gen_cfg))
-    out["GenQP"] = time_fn(f, Q, p, A, b, G, h, n_sims=n_sims)
+    gen_call = lambda Q, p, A, b, G, h: qp_gen(Q, p, A, b, G, h,
+                                               config=gen_cfg)
+    fwd = jax.jit(lambda *a: jnp.sum(gen_call(*a)))
+    out["GenQP"] = time_split(fwd, grad_fn(gen_call), gh_data, n_sims)
 
     if include_ip:
         ip_cfg = OptNetConfig(tol=tol, max_iters=30)
-        f = grad_fn(lambda Q, p, A, b, G, h:
-                    qp_optnet(Q, p, A, b, G, h, config=ip_cfg))
-        out["OptNet_IP"] = time_fn(f, Q, p, A, b, G, h, n_sims=n_sims)
+        ip_call = lambda Q, p, A, b, G, h: qp_optnet(Q, p, A, b, G, h,
+                                                     config=ip_cfg)
+        fwd = jax.jit(lambda *a: jnp.sum(ip_call(*a)))
+        out["OptNet_IP"] = time_split(fwd, grad_fn(ip_call), gh_data, n_sims)
 
     # Native CPU baseline (forward only; sequential like the reference SCS).
     from lqp_py_tpu.cpu import native
     if native.available():
+        data = box_data(0)
         Qn, pn, An, bn, lbn, ubn = (np.asarray(v, np.float64) for v in data)
         t0 = time.perf_counter()
         native.solve_box_qp_native(Qn, pn, An, bn, lbn, ubn,
                                    eps_abs=tol, eps_rel=tol)
-        out["Native_CPU_fwd"] = time.perf_counter() - t0
+        out["Native_CPU_fwd"] = {"fwd": time.perf_counter() - t0}
 
     return out
 
@@ -121,8 +152,10 @@ def main():
         r = run_size(n_x, args.n_batch, args.tol, args.n_sims,
                      include_ip=n_x <= args.max_ip_size)
         results[n_x] = r
-        print(f"n_x={n_x}: " + "  ".join(f"{k}={v:.4f}s"
-                                         for k, v in r.items()))
+        print(f"n_x={n_x}: " + "  ".join(
+            f"{k}={v.get('total', v['fwd']):.4f}s"
+            f"(f{v['fwd']:.4f}/b{v.get('bwd', 0):.4f})"
+            for k, v in r.items()))
 
     with open("exp1_results.json", "w") as f:
         json.dump({"device": str(jax.devices()[0]),
@@ -139,9 +172,12 @@ def main():
         fig, ax = plt.subplots(figsize=(8, 4))
         width = 0.8 / len(names)
         for i, name in enumerate(names):
-            ys = [results[s].get(name, float("nan")) for s in sizes]
+            cells = [results[s].get(name) for s in sizes]
+            ys = [c.get("total", c["fwd"]) if c else float("nan")
+                  for c in cells]
+            errs = [c.get("total_ci", 0.0) if c else 0.0 for c in cells]
             ax.bar([j + i * width for j in range(len(sizes))], ys,
-                   width, label=name)
+                   width, yerr=errs, label=name)
         ax.set_yscale("log")
         ax.set_xticks([j + 0.4 for j in range(len(sizes))])
         ax.set_xticklabels([str(s) for s in sizes])

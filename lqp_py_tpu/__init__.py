@@ -15,6 +15,7 @@ from lqp_py_tpu.config import (
     box_qp_control,
     genqp_control,
     optnet_control,
+    scs_control,
 )
 from lqp_py_tpu.types import BoxQPSolution, EqQPSolution, QPSolution
 from lqp_py_tpu.models.box_qp import (
@@ -33,7 +34,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BoxQPConfig", "GenQPConfig", "OptNetConfig",
-    "box_qp_control", "genqp_control", "optnet_control",
+    "box_qp_control", "genqp_control", "optnet_control", "scs_control",
     "BoxQPSolution", "EqQPSolution", "QPSolution",
     "solve_box_qp", "solve_box_qp_unrolled",
     "prepare_box_qp", "solve_box_qp_prepared",

@@ -190,3 +190,46 @@ def optnet_control(**kwargs) -> OptNetConfig:
 
 def genqp_control(**kwargs) -> GenQPConfig:
     return GenQPConfig(**kwargs)
+
+
+#: Reference ``scs_control`` knobs (control.py:39-77) that have no
+#: counterpart in the TPU-native batched solver.  Deliberate scoping, not
+#: accidental drops — see PARITY.md ("conic knob surface") for rationale:
+#: the sequential C-solver plumbing (mkl/gpu/use_indirect/files), SCS's
+#: Anderson acceleration, and wall-clock limits do not map onto a
+#: lock-step jitted batch.
+_SCS_UNSUPPORTED = {
+    "use_indirect", "mkl", "gpu", "eps_infeas", "acceleration_lookback",
+    "acceleration_interval", "time_limit_secs", "write_data_filename",
+    "log_csv_filename",
+}
+
+
+def scs_control(**kwargs) -> GenQPConfig:
+    """Reference-compatible constructor for the SCS-capability solver: maps
+    the reference's ``scs_control`` knob names (control.py:39-77) onto
+    GenQPConfig.
+
+    Mapping: normalize -> scale; scale -> rho (SCS's dual scale plays the
+    role of the splitting penalty; None keeps the auto rho); adaptive_scale
+    -> adaptive_rho; rho_x -> sigma (primal regularization); alpha,
+    eps_abs/eps_rel, max_iters, verbose pass through.  Unsupported knobs
+    (see ``_SCS_UNSUPPORTED``) raise unless ``ignore_unsupported=True``.
+    """
+    kwargs = dict(kwargs)
+    ignore = kwargs.pop("ignore_unsupported", False)
+    unsupported = sorted(set(kwargs) & _SCS_UNSUPPORTED)
+    if unsupported and not ignore:
+        raise ValueError(
+            f"scs_control knobs {unsupported} have no TPU counterpart "
+            f"(see PARITY.md); pass ignore_unsupported=True to drop them")
+    for k in _SCS_UNSUPPORTED:
+        kwargs.pop(k, None)
+    # Reference 'scale' is SCS's numeric dual-scale factor (the splitting
+    # penalty), distinct from the 'normalize' preconditioning flag.
+    if "scale" in kwargs:
+        kwargs.setdefault("rho", float(kwargs.pop("scale")))
+    rename = {"normalize": "scale", "adaptive_scale": "adaptive_rho",
+              "rho_x": "sigma"}
+    out = {rename.get(k, k): v for k, v in kwargs.items()}
+    return GenQPConfig(**out)

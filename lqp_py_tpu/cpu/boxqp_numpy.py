@@ -2,9 +2,10 @@
 
 Component parity with the reference's non-batched scalar solver
 (``solve_box_qp`` / ``BoxQP``, solve_box_qp_admm.py:7-282): same problem
-class and stopping rules, used as a readable, dependency-free oracle (the
-fast path is the C++ core in native/lqp_native.cpp; this is the pure-Python
-fallback and the line-by-line-checkable reference).
+class, Jacobi scaling with the quantile-blended beta, scalar auto/adaptive
+rho with refactorization, and OSQP-style stopping on unscaled residuals —
+used as a readable, dependency-free oracle that covers the tuned paths of
+the TPU solver (the fast path is the C++ core in native/lqp_native.cpp).
 """
 
 from __future__ import annotations
@@ -13,6 +14,8 @@ from typing import Optional
 
 import numpy as np
 from scipy.linalg import lu_factor, lu_solve
+
+_ZERO_CLAMP = 1e-16
 
 
 def prep_bound(v, n_x: int, default: float):
@@ -27,9 +30,20 @@ def prep_bound(v, n_x: int, default: float):
 def solve_box_qp_np(Q, p, A=None, b=None, lb=None, ub=None,
                     rho: Optional[float] = None, eps_abs: float = 1e-6,
                     eps_rel: float = 1e-6, max_iters: int = 100000,
-                    check_every: Optional[int] = None):
-    """Solve one box QP.  Returns dict {x, z, u, nus, lams, iter,
-    primal_error, dual_error, converged}."""
+                    check_every: Optional[int] = None,
+                    scale: bool = True, beta: Optional[float] = None,
+                    adaptive_rho: bool = True,
+                    adaptive_rho_tol: float = 5.0,
+                    adaptive_rho_iter: int = 25,
+                    adaptive_rho_max_iter: int = 1000,
+                    adaptive_rho_threshold: float = 1e-5):
+    """Solve one box QP.  Returns dict {x, z, u, nus, lams, rho, iter,
+    primal_error, dual_error, converged}.
+
+    Scaling and adaptive rho mirror the reference scalar solver
+    (solve_box_qp_admm.py:125-234); defaults follow this framework's tuned
+    batched solver (scale + adaptive rho on, early first update).
+    """
     Q = np.asarray(Q, np.float64)
     p = np.asarray(p, np.float64).reshape(-1)
     n = p.shape[0]
@@ -42,6 +56,44 @@ def solve_box_qp_np(Q, p, A=None, b=None, lb=None, ub=None,
         m = A.shape[0]
 
     any_ineq = np.max(lb) > -np.inf or np.min(ub) < np.inf
+    # Dual-tolerance norm uses the UNSCALED p (as the batched solver does,
+    # solve_box_qp_admm_torch.py:127).
+    p_norm = np.max(np.abs(p)) if n else 0.0
+
+    # --- scaling (solve_box_qp_admm.py:126-151): Jacobi D from Q column
+    # inf-norms with the quantile-blended beta; row equilibration E of A.
+    if scale:
+        Q_norm = np.max(np.abs(Q), axis=0)
+        if (Q_norm <= 0).any():
+            fill = Q_norm[Q_norm > 0].mean() if (Q_norm > 0).any() else 1.0
+            Q_norm = np.where(Q_norm <= 0, fill, Q_norm)
+        D = np.sqrt(1.0 / Q_norm)
+        if beta is None:
+            q10, q90 = np.quantile(D, [0.10, 0.90])
+            beta = 1.0 - q10 / q90 if q90 > 0 else 0.0
+        D = (1.0 - beta) * D + beta * D.mean()
+        Q = D[:, None] * Q * D
+        p = D * p
+        if m:
+            A = A * D
+            A_norm = np.max(np.abs(A), axis=1)
+            if (A_norm <= 0).any():
+                fillA = (A_norm[A_norm > 0].mean()
+                         if (A_norm > 0).any() else 1.0)
+                A_norm = np.where(A_norm <= 0, fillA, A_norm)
+            E = 1.0 / A_norm
+            A = E[:, None] * A
+            b = E * b
+        else:
+            E = np.ones(0)
+        if any_ineq:
+            lb = lb / D
+            ub = ub / D
+    else:
+        D = np.ones(n)
+        E = np.ones(m)
+
+    # --- rho selection on the scaled problem (solve_box_qp_admm.py:156-160).
     if rho is None:
         rho = float(np.linalg.norm(Q) / np.sqrt(n)) if any_ineq else 0.0
         rho = min(max(rho, 1e-6), 1e6)
@@ -49,23 +101,44 @@ def solve_box_qp_np(Q, p, A=None, b=None, lb=None, ub=None,
         rho = 0.0
     if check_every is None:
         check_every = max(round(np.sqrt(n) / 10) * 10, 1)
+    adaptive_rho_iter = max(round(adaptive_rho_iter / check_every)
+                            * check_every, 1)
 
-    K = np.zeros((n + m, n + m))
-    K[:n, :n] = Q + rho * np.eye(n)
-    if m:
-        K[:n, n:] = A.T
-        K[n:, :n] = A
-    factors = lu_factor(K)
+    Id = np.eye(n)
+
+    def factorize(rho_):
+        K = np.zeros((n + m, n + m))
+        K[:n, :n] = Q + rho_ * Id
+        if m:
+            K[:n, n:] = A.T
+            K[n:, :n] = A
+        return lu_factor(K)
+
+    factors = factorize(rho)
 
     x = np.zeros(n)
     z = np.zeros(n)
     u = np.zeros(n)
     nus = np.zeros(m)
-    p_norm = np.max(np.abs(p)) if n else 0.0
     primal = dual = np.inf
+    tolp_norm = told_norm = 1.0
     converged = False
     it = 0
     for it in range(max_iters):
+        # --- adaptive rho (solve_box_qp_admm.py:189-203): every
+        # adaptive_rho_iter iterations while errors are above threshold,
+        # rho *= sqrt(primal_ratio / dual_ratio) with refactorization.
+        if (adaptive_rho and it % adaptive_rho_iter == 0
+                and 0 < it < adaptive_rho_max_iter
+                and (primal > adaptive_rho_threshold
+                     or dual > adaptive_rho_threshold)):
+            num = max(primal / tolp_norm, _ZERO_CLAMP)
+            den = max(dual / told_norm, _ZERO_CLAMP)
+            ratio = np.sqrt(num / den)
+            if ratio > adaptive_rho_tol or ratio < 1.0 / adaptive_rho_tol:
+                rho = min(max(rho * ratio, 1e-6), 1e6)
+                factors = factorize(rho)
+
         rhs = np.concatenate([-p + rho * (z - u), b]) if m \
             else (-p + rho * (z - u))
         sol = lu_solve(factors, rhs)
@@ -76,20 +149,28 @@ def solve_box_qp_np(Q, p, A=None, b=None, lb=None, ub=None,
         z = np.clip(x + u, lb, ub)
         u = u + (x - z)
         if it % check_every == 0:
-            primal = np.max(np.abs(x - z))
-            dual = rho * np.max(np.abs(z - z_prev))
-            tol_p = eps_abs + eps_rel * max(np.max(np.abs(x)),
-                                            np.max(np.abs(z)))
-            tol_d = eps_abs + eps_rel * max(
-                rho * np.max(np.abs(u)), np.max(np.abs(Q @ x)), p_norm)
+            # Unscaled residuals (solve_box_qp_admm.py:227-244).
+            primal = np.max(np.abs(D * (x - z)))
+            dual = rho * np.max(np.abs(D * (z - z_prev)))
+            tolp_norm = max(np.max(np.abs(D * x)), np.max(np.abs(D * z)),
+                            _ZERO_CLAMP)
+            told_norm = max(rho * np.max(np.abs(D * u)),
+                            np.max(np.abs(Q @ x / D)), p_norm, _ZERO_CLAMP)
+            tol_p = eps_abs + eps_rel * tolp_norm
+            tol_d = eps_abs + eps_rel * told_norm
             if primal < tol_p and dual < tol_d:
                 converged = True
                 it += 1
                 break
 
-    lam = rho * u
+    # --- unscale + dual extraction (solve_box_qp_admm.py:246-266).
+    x_out = D * x
+    z_out = D * z
+    u_out = u / D
+    lam = rho * u_out
     lams = np.concatenate([np.maximum(-lam, 0), np.maximum(lam, 0)])
-    return {"x": x, "z": z, "u": u, "nus": nus if m else None, "lams": lams,
+    return {"x": x_out, "z": z_out, "u": u_out,
+            "nus": nus * E if m else None, "lams": lams, "rho": rho,
             "iter": it, "primal_error": primal, "dual_error": dual,
             "converged": converged}
 

@@ -71,3 +71,40 @@ def test_numpy_stateful_wrapper():
     x2 = qp.solve()
     assert qp.lb is not None and qp.ub is not None
     assert not np.allclose(x1, x2)
+
+
+def test_numpy_scaling_and_adaptive_rho_ill_conditioned():
+    """The oracle's scaled + adaptive-rho path (solve_box_qp_admm.py:125-234
+    parity) on a badly conditioned problem: without scaling the plain
+    iteration needs far more iterations; both must agree with the TPU
+    solver's solution."""
+    from lqp_py_tpu import BoxQPConfig, solve_box_qp
+
+    rng = np.random.RandomState(7)
+    n = 24
+    L = rng.randn(2 * n, n)
+    s = np.logspace(0, 2, n)
+    Q = (L.T @ L / (2 * n)) * np.outer(s, s) + 1e-3 * np.eye(n)
+    p = rng.randn(n) * s
+    lb, ub = -np.abs(rng.randn(n)) * 2, np.abs(rng.randn(n)) * 2
+
+    scaled = solve_box_qp_np(Q, p, None, None, lb, ub,
+                             eps_abs=1e-9, eps_rel=1e-9)
+    plain = solve_box_qp_np(Q, p, None, None, lb, ub,
+                            eps_abs=1e-9, eps_rel=1e-9, max_iters=20000,
+                            scale=False, adaptive_rho=False)
+    assert scaled["converged"]
+    # The tuned path must actually help on this conditioning: the plain
+    # iteration stalls (does not converge in 20k iterations).
+    assert not plain["converged"] or scaled["iter"] < plain["iter"], (
+        scaled["iter"], plain["iter"])
+
+    tpu = solve_box_qp(jnp.asarray(Q)[None], jnp.asarray(p)[None],
+                       None, None, jnp.asarray(lb)[None],
+                       jnp.asarray(ub)[None],
+                       config=BoxQPConfig(eps_abs=1e-9, eps_rel=1e-9,
+                                          max_iters=200000))
+    # eps is relative to the dual norm (~|Qx| ~ 1e4 here), so absolute
+    # x agreement is ~1e-5.
+    np.testing.assert_allclose(np.asarray(tpu.x)[0], scaled["x"],
+                               rtol=1e-4, atol=5e-5)

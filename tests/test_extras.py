@@ -129,3 +129,24 @@ def test_stateful_boxqp_prep_cache_invalidation():
                        data.lb - 0.1, data.ub, config=cfg)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_scs_control_mapping():
+    """Reference scs_control knob names map onto GenQPConfig
+    (control.py:39-77); unsupported knobs raise unless ignored."""
+    import pytest
+    from lqp_py_tpu import GenQPConfig, scs_control
+
+    cfg = scs_control(normalize=False, scale=0.2, adaptive_scale=False,
+                      rho_x=1e-5, alpha=1.4, eps_abs=1e-6, eps_rel=1e-6,
+                      max_iters=123, verbose=False)
+    assert isinstance(cfg, GenQPConfig)
+    assert cfg.scale is False and cfg.rho == 0.2
+    assert cfg.adaptive_rho is False and cfg.sigma == 1e-5
+    assert cfg.alpha == 1.4 and cfg.max_iters == 123
+
+    with pytest.raises(ValueError, match="no TPU counterpart"):
+        scs_control(use_indirect=True)
+    cfg2 = scs_control(use_indirect=True, mkl=True, eps_infeas=1e-9,
+                       ignore_unsupported=True)
+    assert isinstance(cfg2, GenQPConfig)
