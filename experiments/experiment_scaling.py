@@ -69,6 +69,29 @@ def main():
     print("scaling OK: sharded solutions match single-device at every "
           "mesh size")
 
+    # --- tensor-parallel ('tp') section: the KKT operator column-sharded
+    # across the mesh for a single LARGE problem (SURVEY §5 "long axis").
+    # n is chosen so the factorization temporaries dominate; XLA's memory
+    # analysis proves the per-device footprint shrinks with tp degree.
+    from lqp_py_tpu.parallel.tp import lowered_tp_memory, solve_box_qp_tp
+    n_tp = max(args.n_x, 512)
+    data = create_qp_data(n_tp, 2, seed=0, dtype=jnp.float32)
+    ref = solve_box_qp(*data, config=cfg)
+    mesh_tp = make_mesh((1, n_dev), ("dp", "tp"))
+    t0 = time.perf_counter()
+    s_tp = solve_box_qp_tp(mesh_tp, *data, config=cfg)
+    jax.block_until_ready(s_tp.x)
+    t_tp = time.perf_counter() - t0
+    err_tp = float(jnp.max(jnp.abs(s_tp.x - ref.x)))
+    m_tp = lowered_tp_memory(mesh_tp, *data, config=cfg)
+    m_1 = lowered_tp_memory(make_mesh((1, 1), ("dp", "tp")), *data,
+                            config=cfg)
+    ratio = m_1.temp_size_in_bytes / max(m_tp.temp_size_in_bytes, 1)
+    print(f"tp={n_dev} n={n_tp}: solve {t_tp:.3f}s |dx|={err_tp:.1e} "
+          f"per-device temp bytes {m_tp.temp_size_in_bytes} vs "
+          f"unsharded {m_1.temp_size_in_bytes} ({ratio:.2f}x smaller)")
+    assert err_tp < 1e-4, "tp-sharded != single-device"
+
 
 if __name__ == "__main__":
     main()

@@ -89,21 +89,51 @@ def spd_inverse(H):
 
 _LEAF = 128
 
+# When True, spd_inverse_fast / spd_solve_fast use pure lax ops (Cholesky)
+# instead of the Pallas sweep leaves.  Needed under GSPMD tensor-parallel
+# sharding: a Mosaic custom call cannot be auto-partitioned by XLA's SPMD
+# pass, while the lax decomposition can (see parallel/tp.py).
+_FORCE_LAX = False
 
-def _schur_inverse(H, ee):
-    """Recursive SPD inverse; H is (B, n, n) with n a multiple of _LEAF."""
+
+import contextlib
+
+
+@contextlib.contextmanager
+def lax_linalg_only():
+    """Trace-time switch forcing the partitionable lax path."""
+    global _FORCE_LAX
+    old = _FORCE_LAX
+    _FORCE_LAX = True
+    try:
+        yield
+    finally:
+        _FORCE_LAX = old
+
+
+def _sweep_leaf(H):
+    from lqp_py_tpu.ops.pallas.spd_inverse import sweep_spd_inverse
+    return sweep_spd_inverse(H)
+
+
+def _schur_inverse(H, ee, leaf=_sweep_leaf):
+    """Recursive SPD inverse; H is (B, n, n) with n a multiple of _LEAF.
+
+    ``leaf`` inverts the <=128 diagonal blocks: the Pallas sweep kernel on
+    a single TPU chip, or plain Cholesky under ``lax_linalg_only`` (the
+    recursion itself is all einsums, which XLA's SPMD partitioner can
+    shard — a full-size ``lax.linalg.cholesky`` cannot be)."""
     n = H.shape[-1]
     if n <= _LEAF:
-        from lqp_py_tpu.ops.pallas.spd_inverse import sweep_spd_inverse
-        return sweep_spd_inverse(H)
+        return leaf(H)
     h = (n // _LEAF // 2) * _LEAF
     A = H[..., :h, :h]
     Bm = H[..., :h, h:]
     C = H[..., h:, h:]
-    Ai = _schur_inverse(A, ee)
+    Ai = _schur_inverse(A, ee, leaf)
     T = ee("...ij,...jk->...ik", Ai, Bm)          # Ai B        (h, n-h)
     S = C - ee("...ji,...jk->...ik", Bm, T)       # C - B^T Ai B
-    Si = _schur_inverse(S, ee)
+    Si = _schur_inverse(S, ee, leaf)
     U = ee("...ij,...jk->...ik", T, Si)           # Ai B Si     (h, n-h)
     TL = Ai + ee("...ik,...jk->...ij", U, T)      # Ai + U (Ai B)^T
     top = jnp.concatenate([TL, -U], axis=-1)
@@ -124,10 +154,16 @@ def spd_inverse_fast(H, precision: str = "highest"):
     ``Rt + diag(1/d)`` whose diagonal spans ~1e8 near convergence — lose
     all accuracy in a fixed-order f32 sweep (observed as NaNs in the
     OptNet solver)."""
-    if jax.default_backend() != "tpu" or H.dtype != jnp.float32:
+    if _FORCE_LAX:
+        # GSPMD tensor-parallel path: Schur recursion (partitionable
+        # einsums) with Cholesky leaves instead of the Mosaic sweep.
+        leaf = spd_inverse
+    elif jax.default_backend() != "tpu" or H.dtype != jnp.float32:
         # Mosaic kernels have no f64 support; x64 runs (and CPU) take the
         # lax Cholesky path.
         return spd_inverse(H)
+    else:
+        leaf = _sweep_leaf
     import functools
     ee = functools.partial(jnp.einsum, precision=precision,
                            preferred_element_type=H.dtype)
@@ -142,9 +178,9 @@ def spd_inverse_fast(H, precision: str = "highest"):
         Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
         Hp = Hp.at[:, :n, :n].set(Hs)
         Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
-        Hi = _schur_inverse(Hp, ee)[:, :n, :n]
+        Hi = _schur_inverse(Hp, ee, leaf)[:, :n, :n]
     else:
-        Hi = _schur_inverse(Hs, ee)
+        Hi = _schur_inverse(Hs, ee, leaf)
     return Hi * d[..., :, None] * d[..., None, :]
 
 
@@ -163,7 +199,7 @@ class KKTFactors:
     Sinv: Optional[jax.Array]
 
 
-def _schur_solve_rec(H, R, ee):
+def _schur_solve_rec(H, R, ee, leaf=_sweep_leaf):
     """``H^-1 R`` without materializing the full inverse: the two half-size
     blocks are inverted (recursively, sweep leaves) but the cross-block
     pieces are only ever applied to ``R`` — ~40% fewer FLOPs than
@@ -173,7 +209,7 @@ def _schur_solve_rec(H, R, ee):
     """
     n = H.shape[-1]
     if n <= 2 * _LEAF:
-        Hi = _schur_inverse(H, ee)
+        Hi = _schur_inverse(H, ee, leaf)
         return ee("...ij,...jk->...ik", Hi, R)
     h = (n // _LEAF // 2) * _LEAF
     A = H[..., :h, :h]
@@ -181,10 +217,10 @@ def _schur_solve_rec(H, R, ee):
     C = H[..., h:, h:]
     R1 = R[..., :h, :]
     R2 = R[..., h:, :]
-    Ai = _schur_inverse(A, ee)
+    Ai = _schur_inverse(A, ee, leaf)
     T = ee("...ij,...jk->...ik", Ai, Bm)            # Ai B      (h, n-h)
     S = C - ee("...ji,...jk->...ik", Bm, T)         # C - B^T Ai B
-    Si = _schur_inverse(S, ee)
+    Si = _schur_inverse(S, ee, leaf)
     Y1 = ee("...ij,...jk->...ik", Ai, R1)
     X2 = ee("...ij,...jk->...ik",
             Si, R2 - ee("...ji,...jk->...ik", Bm, Y1))
@@ -197,8 +233,12 @@ def spd_solve_fast(H, R):
     Jacobi-equilibrated Schur-recursion solve with sweep leaves (cheaper
     than materializing H^-1 when k << n, e.g. the one-shot backward-pass
     solve); elsewhere a Cholesky solve."""
-    if jax.default_backend() != "tpu" or H.dtype != jnp.float32:
+    if _FORCE_LAX:
+        leaf = spd_inverse
+    elif jax.default_backend() != "tpu" or H.dtype != jnp.float32:
         return chol_solve(lax_linalg.cholesky(H), R)
+    else:
+        leaf = _sweep_leaf
     import functools
     ee = functools.partial(jnp.einsum, precision="highest",
                            preferred_element_type=H.dtype)
@@ -216,9 +256,9 @@ def spd_solve_fast(H, R):
         Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
         Rp = jnp.zeros((B, n_pad, k), R.dtype)
         Rp = Rp.at[:, :n, :].set(Rs)
-        X = _schur_solve_rec(Hp, Rp, ee)[:, :n, :]
+        X = _schur_solve_rec(Hp, Rp, ee, leaf)[:, :n, :]
     else:
-        X = _schur_solve_rec(Hs, Rs, ee)
+        X = _schur_solve_rec(Hs, Rs, ee, leaf)
     return X * d[..., :, None]
 
 

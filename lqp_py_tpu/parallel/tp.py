@@ -1,0 +1,89 @@
+"""Tensor-parallel ('tp') sharding of the KKT operator itself.
+
+The batch axis ('dp') is embarrassingly parallel; the second mesh axis
+'tp' exists for the other scaling direction SURVEY §5 calls "the long
+axis": a single problem whose n_x makes the (B, n, n) reduced inverse too
+large for one chip's HBM (n=4096 at B=128 f32 is 8.6 GB for ``P`` alone).
+
+Here the column (last) axis of every n x n operator — Q, H = Q + rho I,
+the Schur-recursion intermediates, and the materialized reduced inverse
+``P`` — is sharded over 'tp' via GSPMD: inputs are placed with
+``P(dp, None, tp)`` shardings and XLA's SPMD partitioner propagates them
+through the whole solve, turning the hot-loop GEMV ``x = P r`` into a
+column-sharded partial product + psum over ICI, and partitioning the
+factorization GEMMs the same way.
+
+The one op XLA cannot partition is the Mosaic sweep kernel (a custom
+call), so this path forces the pure-lax Cholesky leaves
+(``ops.linalg.lax_linalg_only``) — slower per FLOP than the sweep path but
+the only option beyond one chip, which is exactly when this entry point is
+the right tool.
+
+Verified in tests/test_parallel.py: results match the unsharded solve on a
+virtual 8-device mesh, and XLA's per-device memory analysis confirms the
+temporaries actually shrink with the tp degree (i.e. the partitioner did
+not silently replicate the factorization).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lqp_py_tpu.config import BoxQPConfig
+from lqp_py_tpu.models.box_qp import solve_box_qp
+from lqp_py_tpu.ops.linalg import lax_linalg_only
+
+
+def _shardings(mesh, batch_axis, model_axis):
+    def mat(x):  # (B, k, n): columns over tp
+        return NamedSharding(mesh, P(batch_axis, None, model_axis))
+
+    def vec(x):  # (B, n): replicated over tp
+        return NamedSharding(mesh, P(batch_axis, None))
+
+    return mat, vec
+
+
+def shard_problem_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
+                     batch_axis: str = "dp", model_axis: str = "tp"):
+    """Place problem data with batch over ``batch_axis`` and the n (column)
+    axis of the matrix operands over ``model_axis``."""
+    mat, vec = _shardings(mesh, batch_axis, model_axis)
+    put = lambda x, s: None if x is None else jax.device_put(
+        jnp.asarray(x), s(x))
+    return (put(Q, mat), put(p, vec), put(A, mat), put(b, vec),
+            put(lb, vec), put(ub, vec))
+
+
+def solve_box_qp_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
+                    config: BoxQPConfig = BoxQPConfig(),
+                    batch_axis: str = "dp", model_axis: str = "tp"):
+    """Forward box-QP solve with the KKT operator column-sharded over
+    ``model_axis`` (and the batch over ``batch_axis``).
+
+    Semantics identical to ``solve_box_qp``; only the data layout differs.
+    Returns a BoxQPSolution whose matrix-shaped internals lived sharded.
+    """
+    args = shard_problem_tp(mesh, Q, p, A, b, lb, ub,
+                            batch_axis, model_axis)
+    with lax_linalg_only():
+        fn = jax.jit(lambda Q, p, A, b, lb, ub: solve_box_qp(
+            Q, p, A, b, lb, ub, config))
+        return fn(*args)
+
+
+def lowered_tp_memory(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
+                      config: BoxQPConfig = BoxQPConfig(),
+                      batch_axis: str = "dp", model_axis: str = "tp"):
+    """Compile the tp-sharded solve and return XLA's per-device memory
+    analysis (argument/output/temp bytes).  Used by tests and the scaling
+    experiment to prove the factorization is genuinely partitioned."""
+    args = shard_problem_tp(mesh, Q, p, A, b, lb, ub,
+                            batch_axis, model_axis)
+    with lax_linalg_only():
+        fn = jax.jit(lambda Q, p, A, b, lb, ub: solve_box_qp(
+            Q, p, A, b, lb, ub, config))
+        compiled = fn.lower(*args).compile()
+    return compiled.memory_analysis()

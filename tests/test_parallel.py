@@ -73,3 +73,30 @@ def test_graft_entry_dryrun():
     x = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(x)))
     mod.dryrun_multichip(8)
+
+
+def test_tp_sharded_solve_matches_and_partitions():
+    """'tp' axis with a real QP meaning: the KKT operator's column axis is
+    sharded over the mesh; results must match the unsharded solve and XLA's
+    per-device memory analysis must show the factorization temporaries
+    genuinely shrinking (no silent replication)."""
+    from lqp_py_tpu.parallel.tp import lowered_tp_memory, solve_box_qp_tp
+    from lqp_py_tpu import solve_box_qp
+
+    data = create_qp_data(256, 4, seed=0, dtype=jnp.float64)
+    cfg = BoxQPConfig(eps_abs=1e-7, eps_rel=1e-7, max_iters=50000)
+    ref = solve_box_qp(*data, config=cfg)
+
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+    sol = solve_box_qp_tp(mesh, *data, config=cfg)
+    assert bool(jnp.all(sol.converged))
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-10)
+
+    m_tp = lowered_tp_memory(mesh, *data, config=cfg)
+    m_1 = lowered_tp_memory(make_mesh((2, 1), ("dp", "tp")), *data,
+                            config=cfg)
+    # Arguments shard ~4x; temps are bounded by the gathered 128-leaves at
+    # this size (ratio improves with n) but must clearly shrink.
+    assert m_tp.argument_size_in_bytes < 0.35 * m_1.argument_size_in_bytes
+    assert m_tp.temp_size_in_bytes < 0.7 * m_1.temp_size_in_bytes
