@@ -157,6 +157,20 @@ def main():
             f"(f{v['fwd']:.4f}/b{v.get('bwd', 0):.4f})"
             for k, v in r.items()))
 
+    # Merge with any existing results file (same device/protocol) so the
+    # sweep can be (re)run size-by-size without losing other sizes.
+    merged = dict(results)
+    try:
+        with open("exp1_results.json") as f:
+            old = json.load(f)
+        if (old.get("device") == str(jax.devices()[0])
+                and old.get("tol") == args.tol
+                and old.get("n_batch") == args.n_batch):
+            for k, v in old.get("results", {}).items():
+                merged.setdefault(int(k), v)
+    except (FileNotFoundError, json.JSONDecodeError, ValueError):
+        pass
+    results = {int(k): v for k, v in merged.items()}
     with open("exp1_results.json", "w") as f:
         json.dump({"device": str(jax.devices()[0]),
                    "n_batch": args.n_batch, "tol": args.tol,

@@ -52,16 +52,32 @@ def run_size(n_x, n_batch, tol, n_sims):
         "ADMM_FP_noadapt": BoxQPConfig(eps_abs=tol, eps_rel=tol,
                                        adaptive_rho=False),
     }.items():
-        def loss(Q, p, cfg=cfg):
+        def loss(Q, p, A, b, lb, ub, cfg=cfg):
             return jnp.sum(boxqp(Q, p, A, b, lb, ub, config=cfg))
         f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
-        out[name] = time_fn(f, Q, p, n_sims=n_sims)
+        out[name] = time_fn(f, Q, p, A, b, lb, ub, n_sims=n_sims)
 
     # convergence stats for the default config
     sol = solve_box_qp(Q, p, A, b, lb, ub,
                        config=BoxQPConfig(eps_abs=tol, eps_rel=tol))
     out["_iters"] = int(sol.iterations)
     out["_n_converged"] = int(jnp.sum(sol.converged))
+
+    # --- GenQP on the same problems (G = [-I; I]): per-element
+    # adaptive-rho gate ablation (gated vs reference rescale-all).
+    from lqp_py_tpu import GenQPConfig
+    from lqp_py_tpu.models.genqp import solve_qp_gen
+    G, h = data.with_G_h()
+    for name, gcfg in {
+        "GenQP_gated": GenQPConfig(eps_abs=tol, eps_rel=tol),
+        "GenQP_rescale_all": GenQPConfig(eps_abs=tol, eps_rel=tol,
+                                         adaptive_rho_per_element=False),
+    }.items():
+        gsol = jax.jit(lambda Q, p, A, b, G, h, gcfg=gcfg: solve_qp_gen(
+            Q, p, A, b, G, h, config=gcfg))(Q, p, A, b, G, h)
+        _force(gsol.x)
+        out[f"_{name}_iters"] = int(gsol.iterations)
+        out[f"_{name}_n_converged"] = int(jnp.sum(gsol.converged))
     return out
 
 

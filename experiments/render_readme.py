@@ -1,0 +1,185 @@
+"""Regenerate README.md's measured-numbers section FROM the benchmark
+artifacts (exp1_results.json, exp1_hard_results.json, exp2_results.json,
+exp_serving_results.json, BENCH_detail.json).
+
+Every number the README quotes must have a matching artifact field; running
+this after re-capturing the artifacts keeps them in lockstep.  The rendered
+block sits between the AUTOGEN markers in README.md.
+
+Run:  python experiments/render_readme.py
+"""
+
+import json
+import statistics
+import sys
+
+BEGIN = "<!-- BEGIN AUTOGEN NUMBERS (python experiments/render_readme.py) -->"
+END = "<!-- END AUTOGEN NUMBERS -->"
+
+# Reference ADMM-FP/KKT/Unroll/OptNet/SCS totals (s) read off the published
+# charts (BASELINE.md; images/exp_1_n_*.png).
+REF = {
+    10:   {"ADMM_FP": 0.025, "ADMM_KKT": 0.038, "ADMM_Unroll": 0.044,
+           "GenQP": 0.13, "OptNet_IP": 0.011},
+    50:   {"ADMM_FP": 0.027, "ADMM_KKT": 0.14, "ADMM_Unroll": 0.050,
+           "GenQP": 0.28, "OptNet_IP": 0.20},
+    100:  {"ADMM_FP": 0.068, "ADMM_KKT": 0.18, "ADMM_Unroll": 0.22,
+           "GenQP": 0.61, "OptNet_IP": 0.42},
+    250:  {"ADMM_FP": 0.26, "ADMM_KKT": 0.89, "ADMM_Unroll": 0.88,
+           "GenQP": 3.2, "OptNet_IP": 3.6},
+    500:  {"ADMM_FP": 0.75, "ADMM_KKT": 2.7, "ADMM_Unroll": 2.8,
+           "GenQP": 13.1, "OptNet_IP": 13.1},
+    1000: {"ADMM_FP": 2.6, "ADMM_KKT": 9.5, "ADMM_Unroll": 9.5,
+           "GenQP": 80.0, "OptNet_IP": 70.0},
+}
+REF_EXP2_S = 27.0   # images/exp_2_n_500.png, ADMM-FP cumulative train time
+
+
+def _load(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _fmt(v, digits=3):
+    return f"{v:.{digits}f}".rstrip("0").rstrip(".") if v is not None else "—"
+
+
+def render():
+    exp1 = _load("exp1_results.json")
+    bench = _load("BENCH_detail.json")
+    exp2 = _load("exp2_results.json")
+    serving = _load("exp_serving_results.json")
+
+    out = [BEGIN, ""]
+    dev = (exp1 or bench or {}).get("device", "TPU")
+    out.append(
+        f"Measured on one {dev} (steady-state, compile excluded), reference\n"
+        f"Experiment-1 protocol (batch=128, tol 1e-5, fresh data per sim,\n"
+        f"median of forward+backward over {10} sims; per-mode fwd/bwd split\n"
+        f"and ~95% error bars are in `exp1_results.json`).  Reference\n"
+        f"numbers are its published CPU results (BASELINE.md):")
+    out.append("")
+
+    results = {int(k): v for k, v in (exp1 or {}).get("results", {}).items()}
+    cols = ["ADMM_FP", "ADMM_KKT", "ADMM_Unroll", "GenQP", "OptNet_IP"]
+    names = {"ADMM_FP": "ADMM FP", "ADMM_KKT": "ADMM KKT",
+             "ADMM_Unroll": "ADMM Unroll", "GenQP": "GenQP",
+             "OptNet_IP": "OptNet IP"}
+    refnames = {"GenQP": "ref SCS", "OptNet_IP": "ref OptNet"}
+    header = "| dz |"
+    rule = "|----|"
+    for c in cols:
+        header += f" {names[c]} | ({refnames.get(c, 'ref')}) |"
+        rule += "---------|-------|"
+    out.append(header)
+    out.append(rule)
+    speedups = {}
+    for dz in sorted(results):
+        row = f"| {dz} |"
+        for c in cols:
+            cell = results[dz].get(c)
+            if isinstance(cell, (int, float)):   # pre-split schema
+                cell = {"total": cell}
+            tot = cell.get("total") if cell else None
+            ref = REF.get(dz, {}).get(c)
+            bold = c == "ADMM_FP" and dz == max(results)
+            cell_s = (f"**{_fmt(tot)} s**" if bold else f"{_fmt(tot)} s") \
+                if tot is not None else "—"
+            row += f" {cell_s} | {_fmt(ref, 2) if ref else '—'} |"
+            if tot and ref:
+                speedups[(dz, c)] = ref / tot
+        out.append(row)
+    out.append("")
+
+    mx = max(results) if results else None
+    if mx:
+        fp = speedups.get((mx, "ADMM_FP"))
+        kkt = speedups.get((mx, "ADMM_KKT"))
+        gen = speedups.get((mx, "GenQP"))
+        ip = speedups.get((mx, "OptNet_IP"))
+        line = (f"Headline at dz={mx}: **~{fp:.0f}x** on the flagship ADMM "
+                f"fixed-point layer, ~{kkt:.0f}x on the KKT-backward mode, "
+                f"~{gen:.0f}x on the general-inequality (SCS-capability) "
+                f"solver")
+        if ip:
+            ref_ip = REF[mx]["OptNet_IP"]
+            line += (f", and ~{ip:.0f}x on the from-scratch interior point "
+                     f"(which the reference runs at ~{ref_ip:.0f} s)")
+        line += (" — against a reference whose own claim to fame is being "
+                 "30x faster than SCS.")
+        out.append(line)
+    if exp2:
+        out.append(
+            f"End-to-end learning (Experiment 2, dz=500, 100 epochs): "
+            f"**{exp2['total_time_s']:.1f} s** vs the reference's ~"
+            f"{REF_EXP2_S:.0f} s (`exp2_results.json`).")
+    out.append("")
+
+    if serving:
+        med_cold = statistics.median(serving["cold"])
+        fused = serving["fused_per_solve"]
+        out.append(
+            f"For serving/MPC workloads (fixed Q/A/bounds, drifting p), "
+            f"`prepare_box_qp`\n+ `solve_box_qp_prepared` cache the scaling "
+            f"and factorization across calls\nand compose with `warm_start`; "
+            f"fusing a whole control horizon into one jit\n(`lax.scan` of "
+            f"warm-started solves — a shape the reference's eager design\n"
+            f"cannot express) reaches **{fused*1e3:.1f} ms per solve** at "
+            f"dz={serving['n_x']}/batch={serving['n_batch']}\n"
+            f"(vs {med_cold*1e3:.1f} ms cold per-call dispatch, "
+            f"{med_cold/fused:.1f}x; `exp_serving_results.json`).")
+        out.append("")
+
+    if bench:
+        r = {x["n_x"]: x for x in bench["results"]}
+        if r:
+            b = r[max(r)]
+            out.append(
+                f"Per-call numbers above include ~25-60 ms of *remote-tunnel "
+                f"dispatch* this\nenvironment pays on every host->TPU call; "
+                f"chaining solves with distinct\nproblem data inside one jit "
+                f"(the `device_total_s` field of\n`BENCH_detail.json`) "
+                f"isolates the device itself: "
+                f"**{b['device_total_s']:.3f} s** fwd+bwd at\n"
+                f"dz={b['n_x']} (~{REF[b['n_x']]['ADMM_FP']/b['device_total_s']:.0f}x the reference)"
+                + (f" and {r[500]['device_total_s']:.3f} s at dz=500 "
+                   f"(~{REF[500]['ADMM_FP']/r[500]['device_total_s']:.0f}x)."
+                   if 500 in r else "."))
+            out.append("")
+            if "sweep_residual_inf" in b:
+                out.append(
+                    f"Factorization accuracy is asserted on device every "
+                    f"bench run: sweep-path\n`||H H^-1 - I||_inf = "
+                    f"{b['sweep_residual_inf']:.1e}` at dz={b['n_x']} "
+                    f"(`sweep_residual_inf`).")
+                out.append("")
+
+    out.append(
+        "Reproduce with `python bench.py --sizes 500 1000` (writes "
+        "`BENCH_detail.json`)\nand `python experiments/experiment_1.py "
+        "--sizes 10 50 100 250 500 1000`\n(writes `exp1_results.json`); "
+        "regenerate this section with\n`python experiments/render_readme.py`.")
+    out.append("")
+    out.append(END)
+    return "\n".join(out)
+
+
+def main():
+    with open("README.md") as f:
+        readme = f.read()
+    if BEGIN not in readme or END not in readme:
+        print("README.md is missing the AUTOGEN markers", file=sys.stderr)
+        sys.exit(1)
+    head, rest = readme.split(BEGIN, 1)
+    _, tail = rest.split(END, 1)
+    new = head + render() + tail
+    with open("README.md", "w") as f:
+        f.write(new)
+    print("README.md numbers section regenerated from artifacts")
+
+
+if __name__ == "__main__":
+    main()

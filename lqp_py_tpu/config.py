@@ -169,6 +169,11 @@ class GenQPConfig:
     #: Converged-enough elements (both residuals below max(tol, this)) are
     #: excluded from rho updates — same gate as BoxQPConfig.
     adaptive_rho_threshold: float = 1e-5
+    #: Ablation switch: False reproduces the reference behavior of
+    #: rescaling EVERY batch element whenever any one element's ratio
+    #: leaves the band (solve_box_qp_admm_torch.py:247-250).  Measured on
+    #: the hard set in experiments/experiment_1_hard.py.
+    adaptive_rho_per_element: bool = True
     verbose: bool = False
     scale: bool = True
     #: Backward mode: 'conic' (SCS-style projection-derivative implicit

@@ -175,7 +175,13 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         # destabilizes elements whose rho is already balanced (measured
         # 31 -> 1191 iterations on the hard box set).
         el_outside = (ratio > tol) | (ratio < 1.0 / tol)
-        upd_mask = st.do_rho_update & el_outside
+        if config.adaptive_rho_per_element:
+            upd_mask = st.do_rho_update & el_outside
+        else:
+            # Ablation: reference rescale-all behavior
+            # (solve_box_qp_admm_torch.py:247-250).
+            upd_mask = jnp.broadcast_to(jnp.any(el_outside),
+                                        el_outside.shape)
         window = ((st.it >= adaptive_interval)
                   & (st.it < config.adaptive_rho_max_iter)
                   & ((st.it % adaptive_interval) < cs))
