@@ -129,9 +129,10 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     """
     sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config)
     Qs, ps, As, bs, lbs, ubs, D, E = sp
-    factors0 = lin.factorize_kkt(Qs, rho0, As, mode=_mode(config))
+    # factors_in=None: _solve_scaled factorizes at the lane-padded size
+    # directly (no pad/slice copies around the factorization).
     return _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
-                         p_norm, rho0, factors0, warm_start)
+                         p_norm, rho0, None, warm_start)
 
 
 from flax import struct as _struct
@@ -171,15 +172,52 @@ def _mode(config) -> str:
     return mode
 
 
+#: Lane alignment of the variable axis (XLA tiles f32 at (8, 128); the
+#: pallas fused step needs 256).
+_ALIGN = 128
+
+
+def _padded_n(config, n: int, mode: str):
+    use_pallas = bool(config.use_pallas_step) and mode == "inverse"
+    align = 256 if use_pallas else _ALIGN
+    return -(-n // align) * align, use_pallas
+
+
+def _pad_identity(M, pad):
+    """Pad (B, n, n) to (B, n+pad, n+pad) with an identity block (valid for
+    SPD matrices and their lower Cholesky factors alike)."""
+    n = M.shape[-1]
+    out = jnp.pad(M, ((0, 0), (0, pad), (0, pad)))
+    idx = jnp.arange(n, n + pad)
+    return out.at[:, idx, idx].set(jnp.ones((), M.dtype))
+
+
+def _pad_factors(f: "lin.KKTFactors", pad):
+    """Pad cached KKT factors to the aligned size (P/W with zeros — the
+    padded coordinates' r is identically 0 — L with an identity block)."""
+    return f.replace(
+        P=None if f.P is None else jnp.pad(f.P,
+                                           ((0, 0), (0, pad), (0, pad))),
+        L=None if f.L is None else _pad_identity(f.L, pad),
+        W=None if f.W is None else jnp.pad(f.W, ((0, 0), (0, pad), (0, 0))))
+
+
 @solver_precision
 def prepare_box_qp(Q, A=None, b=None, lb=None, ub=None,
                    config: BoxQPConfig = BoxQPConfig()) -> BoxQPPrepared:
     """Precompute everything that does not depend on ``p``: scaling,
     auto-rho, and the KKT factorization."""
     p0 = jnp.zeros(jnp.asarray(Q).shape[:-1], jnp.asarray(Q).dtype)
-    sp, _p_norm, rho0, _meta = _prep(Q, p0, A, b, lb, ub, config)
+    sp, _p_norm, rho0, (_B, n, _dtype) = _prep(Q, p0, A, b, lb, ub, config)
     mode = _mode(config)
-    factors = lin.factorize_kkt(sp.Q, rho0, sp.A, mode=mode)
+    # Factorize at the lane-aligned size _solve_scaled will use, so the
+    # cached factors are consumed without a per-solve pad copy.
+    n_pad, _ = _padded_n(config, n, mode)
+    pad = n_pad - n
+    Qp = _pad_identity(sp.Q, pad) if pad else sp.Q
+    Ap = sp.A if (sp.A is None or not pad) else jnp.pad(
+        sp.A, ((0, 0), (0, 0), (0, pad)))
+    factors = lin.factorize_kkt(Qp, rho0, Ap, mode=mode)
     return BoxQPPrepared(Qs=sp.Q, As=sp.A, bs=sp.b, lbs=sp.lb, ubs=sp.ub,
                          D=sp.D, E=sp.E, rho0=rho0, factors=factors,
                          mode=mode)
@@ -214,11 +252,14 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
 
     mode = _mode(config)
 
-    # Pallas fused-step path: requires the reduced inverse and pads the
-    # variable dimension to the TPU lane width once (padded coordinates are
-    # inert: zero rows/cols of P, p=q=0, bounds +/-inf keep them at 0).
-    use_pallas = bool(config.use_pallas_step) and mode == "inverse"
-    n_pad = (-(-n // 256) * 256) if use_pallas else n
+    # Lane alignment for ALL paths: the factorization runs at the padded
+    # size directly (identity-padded Q, zero-padded A columns), so every
+    # hot-loop operand is statically tile-aligned and no pad/slice copies
+    # surround the factorization — in particular the adaptive-rho
+    # refactorization inside the loop produces an already-padded P.
+    # Padded coordinates are inert: p = 0, bounds +/-inf, zero initial
+    # state => r_pad = 0 and x, z, u stay exactly 0 there by induction.
+    n_pad, use_pallas = _padded_n(config, n, mode)
     pad = n_pad - n
     if pad:
         ps_p = jnp.pad(ps, ((0, 0), (0, pad)))
@@ -226,26 +267,34 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
                         constant_values=-jnp.inf)
         ubs_p = jnp.pad(ubs, ((0, 0), (0, pad)),
                         constant_values=jnp.inf)
+        Qs_p = _pad_identity(Qs, pad)
+        As_p = None if As is None else jnp.pad(As,
+                                               ((0, 0), (0, 0), (0, pad)))
     else:
-        ps_p, lbs_p, ubs_p = ps, lbs, ubs
+        ps_p, lbs_p, ubs_p, Qs_p, As_p = ps, lbs, ubs, Qs, As
 
-    def _finish(f):
-        """Constant GEMV offset q (and pallas lane padding) for factors."""
+    def _q_of(f):
+        """Constant GEMV offset q for (padded) factors."""
         if f.P is not None:
             _, q = lin.kkt_step_operator(f, bs)
-            if pad:
-                f = f.replace(P=jnp.pad(f.P, ((0, 0), (0, pad), (0, pad))))
-                q = jnp.pad(q, ((0, 0), (0, pad)))
         else:
             q = jnp.zeros((B, n_pad), dtype)
-        return f, q
+        return q
 
     def factorize(rho):
-        return _finish(lin.factorize_kkt(Qs, rho, As, mode=mode))
+        f = lin.factorize_kkt(Qs_p, rho, As_p, mode=mode)
+        return f, _q_of(f)
 
-    # The initial factors come from the caller (possibly cached across
-    # solves via prepare_box_qp) — only q/padding is computed here.
-    factors0, q0 = _finish(factors_in)
+    if factors_in is None:
+        factors0, q0 = factorize(rho0)
+    else:
+        # Cached factors from prepare_box_qp; pad once if they were built
+        # at the unpadded size (older prepare or changed config).
+        f = factors_in
+        built_n = (f.P if f.P is not None else f.L).shape[-1]
+        if built_n != n_pad:
+            f = _pad_factors(f, n_pad - built_n)
+        factors0, q0 = f, _q_of(f)
 
     # Over-relaxation: with no finite bounds anywhere, the projection is the
     # identity and rho is forced to 0 — the plain iteration converges in one
@@ -419,24 +468,23 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
     st = jax.lax.while_loop(cond, outer_body, init)
 
     # --- unscale and extract duals (solve_box_qp_admm_torch.py:316-327).
+    nus = None
+    if As is not None:
+        # nu = Sinv (W^T r - b); computed directly from the small Schur
+        # factors at the padded size (padded rows of W are zero).
+        Wt_r = jnp.einsum("bim,bi->bm", st.factors.W, st.last_r,
+                          preferred_element_type=dtype)
+        nu_scaled = jnp.einsum("bmk,bk->bm", st.factors.Sinv, Wt_r - bs,
+                               preferred_element_type=dtype)
+        nus = nu_scaled * E
     if pad:
-        st = st._replace(x=st.x[:, :n], z=st.z[:, :n], u=st.u[:, :n],
-                         last_r=st.last_r[:, :n])
+        st = st._replace(x=st.x[:, :n], z=st.z[:, :n], u=st.u[:, :n])
     x = D * st.x
     z = D * st.z
     u = st.u / D
     lams = u * st.rho[..., None]
     lams = jnp.concatenate([jnp.maximum(-lams, 0.0),
                             jnp.maximum(lams, 0.0)], axis=-1)
-    nus = None
-    if As is not None:
-        # nu = Sinv (W^T r - b); computed directly from the small Schur
-        # factors (st.factors.P may be lane-padded in the pallas path).
-        Wt_r = jnp.einsum("bim,bi->bm", st.factors.W, st.last_r,
-                          preferred_element_type=dtype)
-        nu_scaled = jnp.einsum("bmk,bk->bm", st.factors.Sinv, Wt_r - bs,
-                               preferred_element_type=dtype)
-        nus = nu_scaled * E
 
     return BoxQPSolution(
         x=x, z=z, u=u, lams=lams, nus=nus, rho=st.rho,
