@@ -57,6 +57,32 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
     data = create_qp_data(n_x, n_batch, seed=seed, dtype=dtype)
     Q, p, A, b, lb, ub = data
 
+    # Mosaic sweep-path accuracy, asserted on DEVICE each round (CI runs
+    # the pallas kernels in interpret mode only, so a Mosaic regression
+    # could otherwise hide behind a still-converging solver).  Computed
+    # FIRST: late in a bench process the remote platform's scalar fetch
+    # has been observed returning 0.0 placeholders (early fetches are
+    # reliable; see the repr() materialization note in the repo memory).
+    from lqp_py_tpu.ops.linalg import spd_inverse_fast
+
+    @jax.jit
+    def sweep_residual(Q):
+        eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
+        H = Q + eye
+        Hi = spd_inverse_fast(H)
+        R = jnp.einsum("bij,bjk->bik", H, Hi, precision="highest",
+                       preferred_element_type=Q.dtype) - eye
+        return jnp.max(jnp.abs(R))
+
+    res_arr = sweep_residual(Q)
+    _ = repr(res_arr)          # repr materializes reliably; float alone may not
+    sweep_res = float(res_arr)
+    print(f"[bench] dz={n_x} sweep residual {sweep_res:.3e}",
+          file=sys.stderr)
+    assert 0.0 < sweep_res < 1e-2, (
+        f"sweep-path inverse residual {sweep_res:.3e} at n={n_x} — Mosaic "
+        f"kernel regression")
+
     @jax.jit
     def fwd(Q, p):
         sol = solve_box_qp(Q, p, A, b, lb, ub, cfg)
@@ -123,25 +149,6 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
         t0 = time.perf_counter()
         float(chained(Q, p, dp))
         dev_times.append((time.perf_counter() - t0) / K)
-
-    # Mosaic sweep-path accuracy, asserted on DEVICE each round: CI runs the
-    # pallas kernels in interpret mode only, so a Mosaic regression could
-    # otherwise hide behind a still-converging solver.
-    from lqp_py_tpu.ops.linalg import spd_inverse_fast
-
-    @jax.jit
-    def sweep_residual(Q):
-        eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
-        H = Q + eye
-        Hi = spd_inverse_fast(H)
-        R = jnp.einsum("bij,bjk->bik", H, Hi, precision="highest",
-                       preferred_element_type=Q.dtype) - eye
-        return jnp.max(jnp.abs(R))
-
-    sweep_res = float(sweep_residual(Q))
-    assert sweep_res < 1e-2, (
-        f"sweep-path inverse residual {sweep_res:.3e} at n={n_x} — Mosaic "
-        f"kernel regression")
 
     return {
         "n_x": n_x, "n_batch": n_batch, "tol": tol,

@@ -169,11 +169,16 @@ class GenQPConfig:
     #: Converged-enough elements (both residuals below max(tol, this)) are
     #: excluded from rho updates — same gate as BoxQPConfig.
     adaptive_rho_threshold: float = 1e-5
-    #: Ablation switch: False reproduces the reference behavior of
-    #: rescaling EVERY batch element whenever any one element's ratio
-    #: leaves the band (solve_box_qp_admm_torch.py:247-250).  Measured on
-    #: the hard set in experiments/experiment_1_hard.py.
-    adaptive_rho_per_element: bool = True
+    #: True masks rho updates per element (each element moves only when
+    #: ITS OWN ratio is out of band), as the box solver does.  False
+    #: rescales every element whenever any one trips (the reference
+    #: behavior, solve_box_qp_admm_torch.py:247-250).  MEASURED on the
+    #: hard set (experiments/experiment_1_hard.py, exp1_hard_results.json):
+    #: for THIS splitting the gate is neutral on the random-SPD family but
+    #: slower on hard problems (8401 vs 5576 iters at n=50, 526 vs 226 at
+    #: n=100) — the opposite of the box solver, where gating was a large
+    #: win.  Hence the reference behavior is the default here.
+    adaptive_rho_per_element: bool = False
     verbose: bool = False
     scale: bool = True
     #: Backward mode: 'conic' (SCS-style projection-derivative implicit

@@ -183,10 +183,11 @@ def test_genqp_general_G_grads_vs_finite_difference(backward):
                 err_msg=f"genqp({backward}) fd arg {argi} idx {idx}")
 
 
-def test_genqp_heterogeneous_batch_rho_gate():
-    """A batch mixing an easy and an ill-conditioned element: the
-    per-element adaptive-rho gate must converge both without the
-    all-elements rescale destabilizing the easy one."""
+@pytest.mark.parametrize("per_element", [True, False])
+def test_genqp_heterogeneous_batch_rho_gate(per_element):
+    """A batch mixing an easy and an ill-conditioned element must converge
+    under both adaptive-rho policies (per-element gate and the
+    measured-default rescale-all)."""
     key = jax.random.PRNGKey(11)
     ks = jax.random.split(key, 4)
     n, ni = 12, 8
@@ -202,7 +203,8 @@ def test_genqp_heterogeneous_batch_rho_gate():
     G = jax.random.normal(ks[3], (2, ni, n), jnp.float64)
     h = jnp.einsum("bki,bi->bk", G, x0) + 0.5
     sol = solve_qp_gen(Q, p, None, None, G, h,
-                       config=_cfg(eps_abs=1e-8, eps_rel=1e-8))
+                       config=_cfg(eps_abs=1e-8, eps_rel=1e-8,
+                                   adaptive_rho_per_element=per_element))
     assert bool(jnp.all(sol.converged)), (
         int(sol.iterations),
         [float(v) for v in sol.primal_residual],
