@@ -342,7 +342,16 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
     def maybe_update_rho(st: _LoopState):
         """Reference adaptive-rho rule (solve_box_qp_admm_torch.py:237-256):
         rho *= sqrt(primal_ratio / dual_ratio), masked per element, with an
-        on-device refactorization when any element moves outside the band."""
+        on-device refactorization when any element moves outside the band.
+
+        On the reference's own TODO of a cheap diagonal-only update
+        (solve_box_qp_admm_torch.py:251): a rho change shifts the FULL
+        diagonal (rank-n perturbation), so no Woodbury/rank-k update of the
+        materialized inverse exists.  The refactorization here is the
+        sweep/Schur GEMM path (~20 ms at n=1000) inside this lax.cond, so
+        it is only paid on the rare iterations that actually update — the
+        create family typically triggers none, the hard family a handful.
+        """
         num = jnp.maximum(st.primal_error / st.tolp_norm, _ZERO_CLAMP)
         den = jnp.maximum(st.dual_error / st.told_norm, _ZERO_CLAMP)
         ratio = jnp.sqrt(num / den)
