@@ -138,6 +138,17 @@ class OptNetConfig:
     #:                 (8x fewer FLOPs for the box shape G = [-I; I]).
     #:   'auto'      - condensed iff n_ineq > n_x.
     factor: str = "auto"
+    #: Iterative-refinement steps on each condensed KKT solve (f32 only
+    #: needs this at large n: the materialized-inverse solve floors around
+    #: 1e-3 dual infeasibility at n=1000; 1-2 steps of refinement recover
+    #: the digits for a few GEMVs each).  Ignored by the 'schur' path.
+    refine_steps: int = 0
+    #: Active-set polish after convergence (OSQP-style; absent in the
+    #: reference): one masked factorization solving the active-set
+    #: equality problem exactly, accepted per element only when feasibility
+    #: does not regress.  Lifts the f32 weak-activity solution-error floor
+    #: (~sqrt(tol)) to solve accuracy.
+    polish: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -177,7 +177,8 @@ def ip_factor_condensed(Q, A, G, d, int_reg) -> CondensedFactors:
     return CondensedFactors(Hinv=Hinv, W=W, Sinv=Sinv)
 
 
-def ip_solve_condensed(fc: CondensedFactors, d, G, A, rx, rs, rz, ry):
+def ip_solve_condensed(fc: CondensedFactors, d, G, A, rx, rs, rz, ry,
+                       Hmv=None, refine: int = 0):
     """Solve the same Newton system as ``ip_solve_kkt`` through the
     condensed factors:
 
@@ -188,14 +189,25 @@ def ip_solve_condensed(fc: CondensedFactors, d, G, A, rx, rs, rz, ry):
 
     Eliminating dz = -rs - d ds and ds = -rz - G dx gives
     ``H(d) dx + A^T dy = -rx + G^T (rs - d rz)`` with H = Q + G^T diag(d) G.
+
+    ``refine`` > 0 applies that many steps of iterative refinement to the
+    H-solve (``dx += Hinv (rhs - H dx)`` with the residual computed by the
+    matrix-free product ``Hmv``): the f32 materialized inverse bottoms out
+    around 1e-3 dual infeasibility at n=1000 because H's spectrum spans
+    the full d range, and refinement buys the missing digits for a few
+    GEMVs instead of an f64 factorization (which the TPU lacks natively).
     """
     rhs1 = -rx + _mtv(G, rs - d * rz)
     t = _mv(fc.Hinv, rhs1)
     if A is None:
         dx, dy = t, None
+        rhs_eff = rhs1
     else:
         dy = _mv(fc.Sinv, _mv(A, t) + ry)
         dx = t - _mv(fc.W, dy)
+        rhs_eff = rhs1 - _mtv(A, dy)
+    for _ in range(refine):
+        dx = dx + _mv(fc.Hinv, rhs_eff - Hmv(dx))
     ds = -rz - _mv(G, dx)
     dz = -rs - d * ds
     return dx, ds, dz, dy
@@ -227,9 +239,10 @@ class _IPState(NamedTuple):
     s: jax.Array
     z: jax.Array
     y: Optional[jax.Array]
-    error: jax.Array          # () reduced residual
+    error: jax.Array          # () reduced residual (legacy 'mean' exit)
     primal: jax.Array         # (B,)
     dual: jax.Array           # (B,)
+    converged: jax.Array      # (B,) bool
 
 
 def solve_qp_optnet(Q, p, A=None, b=None, G=None, h=None,
@@ -271,10 +284,17 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
 
     if _use_condensed(config, n, ni):
         f = None
+        refine = int(config.refine_steps)
 
         def make_solver(d):
             fc = ip_factor_condensed(Q, A, G, d, int_reg)
-            return functools.partial(ip_solve_condensed, fc, d, G, A)
+
+            def Hmv(v):
+                return (_mv(Q, v) + _mtv(G, d * _mv(G, v))
+                        + int_reg * v)
+
+            return functools.partial(ip_solve_condensed, fc, d, G, A,
+                                     Hmv=Hmv, refine=refine)
     else:
         f = ip_pre_factor(Q, A, G)
 
@@ -296,27 +316,70 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
     inf = jnp.asarray(jnp.inf, dtype)
     init = _IPState(it=jnp.zeros((), jnp.int32), x=x0, s=s0, z=z0, y=y0,
                     error=inf, primal=jnp.full((B,), jnp.inf, dtype),
-                    dual=jnp.full((B,), jnp.inf, dtype))
+                    dual=jnp.full((B,), jnp.inf, dtype),
+                    converged=jnp.zeros((B,), bool))
+
+    def _inf_norm(v):
+        return jnp.max(jnp.abs(v), axis=-1)
+
+    p_norm = _inf_norm(p)
+    h_norm = _inf_norm(h)
+    b_norm = None if b is None else _inf_norm(b)
+    eps_abs = eps_rel = tol
 
     def residuals(st: _IPState):
-        rx = _mtv(G, st.z) + _mv(Q, st.x) + p
-        rs = st.z
-        rz = _mv(G, st.x) + st.s - h
+        """KKT residual vectors plus the component matvecs needed by the
+        relative tolerances."""
+        Qx = _mv(Q, st.x)
+        Gtz = _mtv(G, st.z)
+        rx = Qx + Gtz + p
         ry = None
+        Aty = None
         if A is not None:
-            rx = rx + _mtv(A, st.y)
+            Aty = _mtv(A, st.y)
+            rx = rx + Aty
             ry = _mv(A, st.x) - b
-        return rx, rs, rz, ry
+        Gx = _mv(G, st.x)
+        rz = Gx + st.s - h
+        rs = st.z
+        return rx, rs, rz, ry, (Qx, Gtz, Aty, Gx)
 
     def body(st: _IPState) -> _IPState:
-        rx, rs, rz, ry = residuals(st)
+        rx, rs, rz, ry, (Qx, Gtz, Aty, Gx) = residuals(st)
 
-        # --- duality-gap stopping metric (optnet.py:116-125).
+        # --- stopping test.  The reference uses ABSOLUTE L2 norms
+        # ((||rz|| + ||rx||)/2 + mu < tol, optnet.py:116-125), which an
+        # f32 TPU cannot drive to 1e-5 at n=1000 (the un-normalized L2
+        # residual floors near sqrt(n) * eps_f32 * scale).  Here the test
+        # is the framework-wide OSQP-style per-element relative criterion
+        # (eps_abs + eps_rel * norm of the constituent terms), plus a
+        # relative duality-gap check — scale-invariant, f32-realizable,
+        # and consistent with the ADMM solvers' tol semantics.
         mu = jnp.sum(st.s * st.z, axis=-1) / ni
-        prim = jnp.linalg.norm(rz, axis=-1)
+        prim = _inf_norm(rz)
+        tolp_norm = jnp.maximum(jnp.maximum(_inf_norm(Gx),
+                                            _inf_norm(st.s)), h_norm)
         if ry is not None:
-            prim = prim + jnp.linalg.norm(ry, axis=-1)
-        dual = jnp.linalg.norm(rx, axis=-1)
+            prim = jnp.maximum(prim, _inf_norm(ry))
+            tolp_norm = jnp.maximum(
+                tolp_norm, jnp.maximum(_inf_norm(ry + b), b_norm))
+        dual = _inf_norm(rx)
+        told_norm = jnp.maximum(jnp.maximum(_inf_norm(Qx),
+                                            _inf_norm(Gtz)), p_norm)
+        if Aty is not None:
+            told_norm = jnp.maximum(told_norm, _inf_norm(Aty))
+        # Complementarity via the WORST product, not the mean: weakly
+        # active constraints with s_i z_i ~ mu leave x off by ~sqrt(mu)
+        # even when the average gap looks converged.  Normalized by the
+        # dual magnitude (an intensive scale): for a strongly active
+        # constraint comp ~ |x - bound| * z_i, so comp < eps * ||z||_inf
+        # bounds the active-set solution error by ~eps.  (NOT by the
+        # objective — an extensive quantity that grows with n and made the
+        # test ~1000x looser at n=1000.)
+        comp = jnp.max(st.s * st.z, axis=-1)
+        gap_ok = comp < eps_abs + eps_rel * _inf_norm(st.z)
+        conv_el = ((prim < eps_abs + eps_rel * tolp_norm)
+                   & (dual < eps_abs + eps_rel * told_norm) & gap_ok)
         resid = (prim + dual) / 2.0 + mu
 
         # Clamp the complementarity scaling: near convergence z/s spans
@@ -354,6 +417,10 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
         alpha = jnp.minimum(jnp.minimum(_ratio_step(st.z, dz),
                                         _ratio_step(st.s, ds)), 1.0)
         alpha = (0.999 * alpha)[..., None]
+        # Freeze converged elements (their residuals then stay consistent
+        # with the reported iterate; the batch exits lock-step like the
+        # ADMM solvers).
+        alpha = jnp.where(conv_el[..., None], 0.0, alpha)
 
         x = st.x + alpha * dx
         s = st.s + alpha * ds
@@ -369,25 +436,76 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
             jax.debug.print("ip iter={it} gap={e:.3e}", it=st.it, e=error)
 
         return _IPState(it=st.it + 1, x=x, s=s, z=z, y=y,
-                        error=error, primal=prim, dual=dual)
+                        error=error, primal=prim, dual=dual,
+                        converged=conv_el)
 
     def cond(st: _IPState):
-        return (st.it < config.max_iters) & (st.error >= tol)
+        live = (st.error >= tol) if config.reduce == "mean" \
+            else ~jnp.all(st.converged)
+        return (st.it < config.max_iters) & live
 
     st = jax.lax.while_loop(cond, body, init)
 
+    x_fin, y_fin = st.x, st.y
+    if config.polish:
+        # Active-set polish (an OSQP-style upgrade the reference lacks):
+        # an f32 interior point stalls at ~sqrt(tol) solution error on
+        # weakly active constraints (s_i z_i ~ comp with s_i ~ z_i).  One
+        # extra solve of the active-set equality problem — active rows of
+        # G enforced through a large quadratic penalty, which the
+        # Jacobi-equilibrated factorization handles exactly like the
+        # interior d — recovers solve-accuracy x for one factorization's
+        # cost.  Accepted per element only if constraint violation did
+        # not regress.
+        # Penalty weight: large enough that the active-set bias lam/w is
+        # below tol, small enough that cond(H) * eps stays << 1 so the
+        # refinement below contracts (w = 1e14 at f64 made cond*eps ~ 0.2
+        # and the polish WORSE than the interior point).
+        polish_w = jnp.asarray(1e6 if dtype == jnp.float32 else 1e8,
+                               dtype)
+        w_act = jnp.where(st.z > st.s, polish_w, jnp.zeros((), dtype))
+        # No int_reg here: Q is SPD on its own, and the regularizer's bias
+        # (int_reg * ||x||) would dominate the polished stationarity.
+        fcp = ip_factor_condensed(Q, A, G, w_act, 0.0)
+        rhs = -p + _mtv(G, w_act * h)
+        t = _mv(fcp.Hinv, rhs)
+        if A is None:
+            x_pol, y_pol = t, None
+        else:
+            y_pol = _mv(fcp.Sinv, _mv(A, t) - b)
+            x_pol = t - _mv(fcp.W, y_pol)
+        # Two refinement passes: the f32 materialized inverse at penalty
+        # diagonal ~1e6 leaves active-constraint violations ~1e-3 on its
+        # own (measured on v5e); refinement restores them to ~1e-5.
+        # NUMERICS: the penalty part of the residual must be computed as
+        # w * (Gx - h) FIRST — evaluating G'(w*Gx) and G'(w*h) separately
+        # cancels ~1e6-magnitude terms to O(10) and f32 loses the digits
+        # the refinement was supposed to recover.
+        rhs0 = -p if A is None else -p - _mtv(A, y_pol)
+        for _ in range(2):
+            resid_p = (rhs0 - _mv(Q, x_pol)
+                       - _mtv(G, w_act * (_mv(G, x_pol) - h)))
+            x_pol = x_pol + _mv(fcp.Hinv, resid_p)
+        viol_ip = jnp.max(jnp.maximum(_mv(G, st.x) - h, 0.0), axis=-1)
+        viol_pol = jnp.max(jnp.maximum(_mv(G, x_pol) - h, 0.0), axis=-1)
+        ok = viol_pol <= jnp.maximum(viol_ip, eps_abs + eps_rel * h_norm)
+        x_fin = jnp.where(ok[..., None], x_pol, st.x)
+        if y_pol is not None:
+            y_fin = jnp.where(ok[..., None], y_pol, st.y)
+
     lams = jnp.maximum(st.z, 1e-8)
-    slacks = jnp.maximum(st.s, 1e-8)
+    slacks = jnp.maximum(h - _mv(G, x_fin), 1e-8)
     sol = QPSolution(
-        x=st.x, lams=lams, slacks=slacks, nus=st.y,
+        x=x_fin, lams=lams, slacks=slacks, nus=y_fin,
         iterations=st.it,
         primal_residual=st.primal, dual_residual=st.dual,
-        converged=jnp.broadcast_to(st.error < tol, (B,)))
+        converged=st.converged)
     return sol, f
 
 
 def optnet_grads(dl_dz, x, lams, slacks, nus, Q, A, G,
-                 f: Optional[IPFactors], int_reg: float):
+                 f: Optional[IPFactors], int_reg: float,
+                 refine: int = 0):
     """KKT backward reusing the cached factors (``torch_optnet_grads``,
     optnet.py:349-407).  ``f`` is None in condensed mode (the n x n factor
     is rebuilt from (lams, slacks); nothing worth caching)."""
@@ -401,7 +519,12 @@ def optnet_grads(dl_dz, x, lams, slacks, nus, Q, A, G,
     d = jnp.clip(lams / slacks, 1.0 / d_cap, d_cap)
     if f is None:
         fc = ip_factor_condensed(Q, A, G, d, int_reg)
-        solve = functools.partial(ip_solve_condensed, fc, d, G, A)
+
+        def Hmv(v):
+            return _mv(Q, v) + _mtv(G, d * _mv(G, v)) + int_reg * v
+
+        solve = functools.partial(ip_solve_condensed, fc, d, G, A,
+                                  Hmv=Hmv, refine=refine)
     else:
         Minv22 = ip_factor_L22(f, d, int_reg)
         solve = functools.partial(ip_solve_kkt, f, Minv22, d, G, A)
@@ -441,7 +564,8 @@ def _optnet_fwd(config, Q, p, A, b, G, h):
 def _optnet_bwd(config, res, dl_dz):
     x, lams, slacks, nus, Q, A, G, f = res
     dQ, dp, dA, db, dG, dh = optnet_grads(
-        dl_dz, x, lams, slacks, nus, Q, A, G, f, float(config.int_reg))
+        dl_dz, x, lams, slacks, nus, Q, A, G, f, float(config.int_reg),
+        refine=int(config.refine_steps))
     return dQ, dp, dA, db, dG, dh
 
 

@@ -21,8 +21,11 @@ def _data_Gh(n_x, n_batch, seed):
 
 def test_optnet_matches_admm_on_box_qp():
     data, G, h = _data_Gh(30, 4, seed=0)
+    # tol drives the relative OSQP-style stopping test (incl. the worst
+    # complementarity product); x-accuracy ~ sqrt(comp), so matching ADMM
+    # to 1e-5 needs a tight tol here.
     ip = solve_qp_optnet(data.Q, data.p, data.A, data.b, G, h,
-                         config=OptNetConfig(tol=1e-8, max_iters=50))
+                         config=OptNetConfig(tol=1e-11, max_iters=60))
     admm = solve_box_qp(*data, config=BoxQPConfig(eps_abs=1e-9, eps_rel=1e-9,
                                                   max_iters=50000))
     assert bool(jnp.all(ip.converged))
