@@ -111,6 +111,12 @@ def render():
         line += (" — against a reference whose own claim to fame is being "
                  "30x faster than SCS.")
         out.append(line)
+        out.append(
+            "(The IP column uses this framework's per-element relative "
+            "stopping — the reference's absolute-L2 metric is unreachable "
+            "for f32 at dz=1000; at tol 1e-5 its solution matches the "
+            "tight ADMM solution to ~6e-3 in x with objective parity "
+            "±2e-4.  See PARITY.md for the full semantics.)")
     if exp2:
         out.append(
             f"End-to-end learning (Experiment 2, dz=500, 100 epochs): "
