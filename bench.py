@@ -59,10 +59,7 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
 
     # Mosaic sweep-path accuracy, asserted on DEVICE each round (CI runs
     # the pallas kernels in interpret mode only, so a Mosaic regression
-    # could otherwise hide behind a still-converging solver).  Computed
-    # FIRST: late in a bench process the remote platform's scalar fetch
-    # has been observed returning 0.0 placeholders (early fetches are
-    # reliable; see the repr() materialization note in the repo memory).
+    # could otherwise hide behind a still-converging solver).
     from lqp_py_tpu.ops.linalg import spd_inverse_fast
 
     @jax.jit
@@ -74,9 +71,7 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
                        preferred_element_type=Q.dtype) - eye
         return jnp.max(jnp.abs(R))
 
-    res_arr = sweep_residual(Q)
-    _ = repr(res_arr)          # repr materializes reliably; float alone may not
-    sweep_res = float(res_arr)
+    sweep_res = float(sweep_residual(Q))
     print(f"[bench] dz={n_x} sweep residual {sweep_res:.3e}",
           file=sys.stderr)
     assert 0.0 < sweep_res < 1e-2, (
