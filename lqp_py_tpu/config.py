@@ -89,6 +89,13 @@ class BoxQPConfig:
     #: Diagonal regularizer added to the masked KKT system in the
     #: fixed-point backward (reference uses 1e-8).
     backward_reg: float = 1e-8
+    #: Detect primal infeasibility (inconsistent equality constraints /
+    #: crossed bounds) from successive dual differences, OSQP-style
+    #: (Banjac et al. 2019).  The reference runs to max_iters silently;
+    #: SCS's eps_infeas is the closest analogue.
+    detect_infeasibility: bool = True
+    #: Relative tolerance of the infeasibility certificate test.
+    eps_infeas: float = 1e-5
     #: Use the Pallas fused ADMM-step kernel (inverse mode only): fuses the
     #: GEMV + projection + dual update and skips HBM reads entirely for
     #: batch elements that have already converged (per-element early exit,
@@ -195,6 +202,10 @@ class GenQPConfig:
     #: Backward mode: 'conic' (SCS-style projection-derivative implicit
     #: diff, scs_qp.py:121-189) | 'kkt' (active-set KKT implicit diff).
     backward: str = "kkt"
+    #: Farkas-style primal-infeasibility certificate from successive dual
+    #: differences (the SCS eps_infeas capability).
+    detect_infeasibility: bool = True
+    eps_infeas: float = 1e-5
 
 
 def box_qp_control(**kwargs) -> BoxQPConfig:

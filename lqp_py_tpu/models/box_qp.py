@@ -62,6 +62,9 @@ class _LoopState(NamedTuple):
     told_norm: jax.Array           # (B,)
     do_rho_update: jax.Array       # (B,) bool
     is_optimal: jax.Array          # (B,) bool
+    u_chk: jax.Array               # (B, n) u at the previous check (unpadded)
+    nu_chk: "Optional[jax.Array]"  # (B, m) nu at the previous check
+    pinf: jax.Array                # (B,) bool — infeasibility certificate
 
 
 def _prep(Q, p, A, b, lb, ub, config):
@@ -334,6 +337,13 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         told_norm=jnp.ones((B,), dtype),
         do_rho_update=jnp.full((B,), bool(config.adaptive_rho)),
         is_optimal=jnp.zeros((B,), bool),
+        u_chk=(u_ws[:, :n] if pad else u_ws),
+        nu_chk=None if As is None else jnp.zeros((B, As.shape[-2]), dtype),
+        # Crossed bounds (lb > ub) make the box itself empty — a direct
+        # data check, not a dual certificate (OSQP rejects this as invalid
+        # input; with traced arrays we flag it instead).
+        pinf=(jnp.any(lbs > ubs, axis=-1)
+              if config.detect_infeasibility else jnp.zeros((B,), bool)),
     )
 
     eps_abs = max(float(config.eps_abs), 1e-12)
@@ -455,6 +465,53 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         tol_dual = eps_abs + eps_rel * told_norm
 
         is_optimal = (primal_error < tol_primal) & (dual_error < tol_dual)
+
+        # --- OSQP-style primal-infeasibility certificate (Banjac et al.
+        # 2019): over a check interval, the successive dual differences
+        # (d_nu, d_lambda) of an infeasible problem converge to a
+        # separating functional:  A^T d_nu + d_lambda -> 0  with negative
+        # support  b'd_nu + ub'[d_lambda]_+ + lb'[d_lambda]_- < 0.
+        # All tests in UNSCALED units; the D factors cancel in the support
+        # terms (ub_us * [dl_us]_+ = ubs * rho [du]_+ elementwise).
+        pinf = st.pinf
+        u_chk = us_c
+        nu_chk = st.nu_chk
+        if config.detect_infeasibility:
+            eps_inf = jnp.asarray(config.eps_infeas, dtype)
+            du = us_c - st.u_chk
+            dlam_us = st.rho[..., None] * du / D
+            if As is not None:
+                nu_s = jnp.einsum(
+                    "bmk,bk->bm", st.factors.Sinv,
+                    jnp.einsum("bim,bi->bm", st.factors.W, last_r,
+                               preferred_element_type=dtype) - bs,
+                    preferred_element_type=dtype)
+                dnu = nu_s - st.nu_chk
+                cert = (jnp.einsum("bmi,bm->bi", As, dnu,
+                                   preferred_element_type=dtype)
+                        + st.rho[..., None] * du) / D
+                dual_scale = jnp.maximum(_inf_norm(dlam_us),
+                                         _inf_norm(dnu * E))
+                support = jnp.sum(bs * dnu, axis=-1)
+                nu_chk = nu_s
+            else:
+                cert = dlam_us
+                dual_scale = _inf_norm(dlam_us)
+                support = jnp.zeros((B,), dtype)
+            dup = st.rho[..., None] * jnp.maximum(du, 0.0)
+            dun = st.rho[..., None] * jnp.minimum(du, 0.0)
+            # An infinite bound has zero-support only if the direction has
+            # no mass there (0 * inf would be NaN, hence the wheres).
+            sup_ub = jnp.where(jnp.isfinite(ubs), ubs * dup,
+                               jnp.where(dup > 0, jnp.inf, 0.0))
+            sup_lb = jnp.where(jnp.isfinite(lbs), lbs * dun,
+                               jnp.where(dun < 0, jnp.inf, 0.0))
+            support = support + jnp.sum(sup_ub + sup_lb, axis=-1)
+            pinf_el = ((_inf_norm(cert) <= eps_inf * dual_scale)
+                       & (support <= -eps_inf * dual_scale)
+                       & (dual_scale > _ZERO_CLAMP))
+            pinf = st.pinf | (pinf_el & ~is_optimal)
+
         thr = jnp.asarray(config.adaptive_rho_threshold, dtype)
         do_rho_update = ((primal_error > jnp.maximum(tol_primal, thr))
                          | (dual_error > jnp.maximum(tol_dual, thr)))
@@ -469,10 +526,11 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             it=st.it + n_inner, x=x, z=z, u=u, last_r=last_r,
             primal_error=primal_error, dual_error=dual_error,
             tolp_norm=tolp_norm, told_norm=told_norm,
-            do_rho_update=do_rho_update, is_optimal=is_optimal)
+            do_rho_update=do_rho_update, is_optimal=is_optimal,
+            u_chk=u_chk, nu_chk=nu_chk, pinf=pinf)
 
     def cond(st: _LoopState):
-        return (st.it < max_iters) & ~jnp.all(st.is_optimal)
+        return (st.it < max_iters) & ~jnp.all(st.is_optimal | st.pinf)
 
     st = jax.lax.while_loop(cond, outer_body, init)
 
@@ -501,6 +559,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         primal_residual=st.primal_error,
         dual_residual=st.dual_error,
         converged=st.is_optimal,
+        primal_infeasible=st.pinf,
     )
 
 

@@ -78,6 +78,9 @@ class _GenState(NamedTuple):
     told_norm: jax.Array
     do_rho_update: jax.Array
     is_optimal: jax.Array
+    u_chk: jax.Array
+    nu_chk: Optional[jax.Array]
+    pinf: jax.Array
 
 
 @solver_precision
@@ -161,6 +164,9 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         told_norm=jnp.ones((B,), dtype),
         do_rho_update=jnp.full((B,), bool(config.adaptive_rho)),
         is_optimal=jnp.zeros((B,), bool),
+        u_chk=zeros_k,
+        nu_chk=None if As is None else jnp.zeros((B, As.shape[-2]), dtype),
+        pinf=jnp.zeros((B,), bool),
     )
 
     def maybe_update_rho(st: _GenState) -> _GenState:
@@ -246,6 +252,36 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         tol_primal = eps_abs + eps_rel * tolp_norm
         tol_dual = eps_abs + eps_rel * told_norm
         is_optimal = (primal_error < tol_primal) & (dual_error < tol_dual)
+
+        # --- Farkas-style primal-infeasibility certificate (the SCS
+        # eps_infeas capability; OSQP mechanics, Banjac et al. 2019): a
+        # nonnegative dl with  G' dl + A' dnu -> 0  and
+        # h' dl + b' dnu < 0  proves Gx <= h, Ax = b infeasible —
+        # validity is checked by the test itself, so projecting the
+        # successive dual difference onto the cone is safe.  Unscaled
+        # units: dl_us = EG * dl_s; (G' dl)_us = (G_s' dl_s) / D; the E/D
+        # factors cancel in h' dl.
+        pinf = st.pinf
+        u_chk = u
+        nu_chk = st.nu_chk
+        if config.detect_infeasibility:
+            eps_inf = jnp.asarray(config.eps_infeas, dtype)
+            # lambda = -rho u  =>  dl_s = -rho (u - u_chk), projected >= 0.
+            dl = jnp.maximum(-st.rho[..., None] * (u - st.u_chk), 0.0)
+            cert = _mtv(Gs, dl) / D
+            dual_scale = _inf_norm(dl * EG)
+            support = jnp.sum(hs * dl, axis=-1)
+            if As is not None:
+                dnu = nu - st.nu_chk
+                cert = cert + _mtv(As, dnu) / D
+                dual_scale = jnp.maximum(dual_scale, _inf_norm(dnu * EA))
+                support = support + jnp.sum(bs * dnu, axis=-1)
+                nu_chk = nu
+            pinf_el = ((_inf_norm(cert) <= eps_inf * dual_scale)
+                       & (support <= -eps_inf * dual_scale)
+                       & (dual_scale > _ZERO_CLAMP))
+            pinf = st.pinf | (pinf_el & ~is_optimal)
+
         thr = jnp.asarray(config.adaptive_rho_threshold, dtype)
         do_rho_update = ((primal_error > jnp.maximum(tol_primal, thr))
                          | (dual_error > jnp.maximum(tol_dual, thr)))
@@ -259,10 +295,11 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
                            primal_error=primal_error, dual_error=dual_error,
                            tolp_norm=tolp_norm, told_norm=told_norm,
                            do_rho_update=do_rho_update,
-                           is_optimal=is_optimal)
+                           is_optimal=is_optimal,
+                           u_chk=u_chk, nu_chk=nu_chk, pinf=pinf)
 
     def cond(st: _GenState):
-        return (st.it < max_iters) & ~jnp.all(st.is_optimal)
+        return (st.it < max_iters) & ~jnp.all(st.is_optimal | st.pinf)
 
     st = jax.lax.while_loop(cond, body, init)
 
@@ -278,7 +315,7 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         x=x, lams=lams, slacks=slacks, nus=nus,
         iterations=st.it,
         primal_residual=st.primal_error, dual_residual=st.dual_error,
-        converged=st.is_optimal)
+        converged=st.is_optimal, primal_infeasible=st.pinf)
 
 
 def gen_qp_grad_kkt(dl_dz, x, lams, slacks, nus, Q, A, G):

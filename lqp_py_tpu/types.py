@@ -34,6 +34,11 @@ class BoxQPSolution:
     primal_residual: jax.Array      # (n_batch,) final unscaled primal residual
     dual_residual: jax.Array        # (n_batch,) final unscaled dual residual
     converged: jax.Array            # (n_batch,) bool
+    #: (n_batch,) bool — an OSQP-style primal-infeasibility certificate was
+    #: found (successive dual differences converge to a separating
+    #: functional; Banjac et al. 2019).  The reference has no infeasibility
+    #: reporting at all; SCS's eps_infeas is the closest analogue.
+    primal_infeasible: Optional[jax.Array] = None
 
 
 @struct.dataclass
@@ -48,6 +53,8 @@ class QPSolution:
     primal_residual: jax.Array
     dual_residual: jax.Array
     converged: jax.Array
+    #: (n_batch,) bool Farkas certificate found (genqp), or None (IP).
+    primal_infeasible: Optional[jax.Array] = None
 
 
 @struct.dataclass
