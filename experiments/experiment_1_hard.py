@@ -69,7 +69,8 @@ def run_size(n_x, n_batch, tol, n_sims):
     from lqp_py_tpu.models.genqp import solve_qp_gen
     G, h = data.with_G_h()
     for name, gcfg in {
-        "GenQP_gated": GenQPConfig(eps_abs=tol, eps_rel=tol),
+        "GenQP_gated": GenQPConfig(eps_abs=tol, eps_rel=tol,
+                                   adaptive_rho_per_element=True),
         "GenQP_rescale_all": GenQPConfig(eps_abs=tol, eps_rel=tol,
                                          adaptive_rho_per_element=False),
     }.items():
