@@ -28,6 +28,7 @@ from lqp_py_tpu.models.layers import BoxQP, BoxQPLayer, boxqp
 from lqp_py_tpu.models.eqcon import qp_eqcon, solve_qp_eqcon
 from lqp_py_tpu.models.uncon import qp_uncon, solve_qp_uncon
 from lqp_py_tpu.models.optnet import OptNetLayer, qp_optnet, solve_qp_optnet
+from lqp_py_tpu.models.box_ip import boxqp_ip, solve_box_qp_ip
 from lqp_py_tpu.models.genqp import GenQPLayer, qp_gen, solve_qp_gen
 
 __version__ = "0.1.0"
@@ -41,5 +42,6 @@ __all__ = [
     "BoxQP", "BoxQPLayer", "boxqp",
     "qp_eqcon", "solve_qp_eqcon", "qp_uncon", "solve_qp_uncon",
     "OptNetLayer", "qp_optnet", "solve_qp_optnet",
+    "boxqp_ip", "solve_box_qp_ip",
     "GenQPLayer", "qp_gen", "solve_qp_gen",
 ]

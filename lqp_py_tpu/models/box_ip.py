@@ -1,0 +1,321 @@
+"""Box-structured Mehrotra interior point: the OptNet algorithm with the
+box inequality structure exploited analytically.
+
+For the box QP (lb <= x <= ub), the general solver materializes
+``G = [-I; I]`` and pays a (B, n, 2n) x (B, 2n, n) GEMM for
+``G' diag(d) G`` plus two (B, 2n, n) matvecs per residual evaluation
+(models/optnet.py).  But with this G the condensed Newton operator is just
+
+    H(d) = Q + diag(d_lo + d_hi),
+
+and every G product is elementwise: per iteration only the n x n inverse
+survives — about half the FLOPs and a third of the HBM traffic of the
+generic condensed mode at ni = 2n.  Same Mehrotra predictor-corrector
+steps, relative stopping test and active-set polish as the general solver
+(reference parity: optnet.py:57-199 specialized to the box).
+
+Requires finite bounds (the ADMM solver is the right tool for +/-inf).
+Backward: the existing box KKT implicit VJP (models/box_qp_grad.py
+``box_qp_grad_kkt``) — the lams layout [lambda_lb; lambda_ub] matches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lqp_py_tpu.config import OptNetConfig
+from lqp_py_tpu.models import box_qp_grad as bgrads
+from lqp_py_tpu.ops.precision import solver_precision
+from lqp_py_tpu.types import BoxQPSolution, as_vector, like_layout
+
+
+def _mv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v, preferred_element_type=v.dtype)
+
+
+def _mtv(M, v):
+    return jnp.einsum("...ij,...i->...j", M, v, preferred_element_type=v.dtype)
+
+
+def _inf(v):
+    return jnp.max(jnp.abs(v), axis=-1)
+
+
+class _Factors(NamedTuple):
+    Hinv: jax.Array
+    W: Optional[jax.Array]
+    Sinv: Optional[jax.Array]
+
+
+def _factor(Q, A, diag, int_reg):
+    """Inverse of ``Q + diag(diag) + int_reg I`` plus the A-Schur pieces."""
+    from lqp_py_tpu.ops.linalg import spd_inverse, spd_inverse_fast
+    n = Q.shape[-1]
+    eye = jnp.eye(n, dtype=Q.dtype)
+    H = Q + eye * (diag + int_reg)[..., None, :]
+    Hinv = spd_inverse_fast(H)
+    if A is None:
+        return _Factors(Hinv=Hinv, W=None, Sinv=None)
+    At = jnp.swapaxes(A, -1, -2)
+    W = jnp.einsum("...ij,...jk->...ik", Hinv, At,
+                   preferred_element_type=Q.dtype)
+    S = jnp.einsum("...ij,...jk->...ik", A, W,
+                   preferred_element_type=Q.dtype)
+    Sinv = spd_inverse(S + int_reg * jnp.eye(S.shape[-1], dtype=S.dtype))
+    return _Factors(Hinv=Hinv, W=W, Sinv=Sinv)
+
+
+def _solve(fc: _Factors, A, rhs1, ry):
+    """[[H, A'], [A, 0]] [dx; dy] = [rhs1; -ry] through the factors."""
+    t = _mv(fc.Hinv, rhs1)
+    if A is None:
+        return t, None
+    dy = _mv(fc.Sinv, _mv(A, t) + ry)
+    return t - _mv(fc.W, dy), dy
+
+
+def _ratio(v, dv):
+    a = -v / dv
+    a = jnp.where(a > 0, a, jnp.inf)
+    return jnp.min(a, axis=-1)
+
+
+class _State(NamedTuple):
+    it: jax.Array
+    x: jax.Array
+    s_lo: jax.Array
+    s_hi: jax.Array
+    z_lo: jax.Array
+    z_hi: jax.Array
+    y: Optional[jax.Array]
+    primal: jax.Array
+    dual: jax.Array
+    converged: jax.Array
+
+
+@solver_precision
+def solve_box_qp_ip(Q, p, A=None, b=None, lb=None, ub=None,
+                    config: OptNetConfig = OptNetConfig()) -> BoxQPSolution:
+    """Forward box-IP solve.  Shapes as ``solve_box_qp``; bounds must be
+    finite.  Returns a BoxQPSolution (z = clip(x), u = lam/rho slot holds
+    the net bound dual)."""
+    Q = jnp.asarray(Q)
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
+    dtype = Q.dtype
+    p = as_vector(p, "p").astype(dtype)
+    lb = as_vector(lb, "lb").astype(dtype)
+    ub = as_vector(ub, "ub").astype(dtype)
+    A = None if A is None else jnp.asarray(A, dtype)
+    b = None if b is None else as_vector(b, "b").astype(dtype)
+    B, n = p.shape
+
+    int_reg = float(config.int_reg)
+    tol = float(config.tol)
+    eps_abs = eps_rel = tol
+    p_norm = _inf(p)
+    lb_norm = _inf(lb)
+    ub_norm = _inf(ub)
+    b_norm = None if b is None else _inf(b)
+
+    # --- init: one solve at d = 1 (optnet_init parity), shift s,z >= 1.
+    ones = jnp.ones((B, n), dtype)
+    fc0 = _factor(Q, A, 2.0 * ones, int_reg)
+    # rhs1 at d=1, rs=0, rz = -h: rhs1 = -p + G'(0 - 1*(-h)) = -p + G'h
+    # with G'h = -(-lb) + ub ... = lb + ub
+    rhs1 = -p + (lb + ub)
+    ry0 = None if b is None else -b
+    x0, y0 = _solve(fc0, A, rhs1, ry0)
+    s_lo0 = x0 - lb
+    s_hi0 = ub - x0
+    shift_s = jnp.maximum(1.0 - jnp.minimum(jnp.min(s_lo0, axis=-1),
+                                            jnp.min(s_hi0, axis=-1)), 0.0)
+    s_lo0 = s_lo0 + shift_s[..., None]
+    s_hi0 = s_hi0 + shift_s[..., None]
+    z0 = jnp.ones((B, n), dtype)
+
+    init = _State(it=jnp.zeros((), jnp.int32), x=x0,
+                  s_lo=s_lo0, s_hi=s_hi0, z_lo=z0, z_hi=z0, y=y0,
+                  primal=jnp.full((B,), jnp.inf, dtype),
+                  dual=jnp.full((B,), jnp.inf, dtype),
+                  converged=jnp.zeros((B,), bool))
+
+    d_cap = 1e8 if dtype == jnp.float32 else 1e16
+
+    def body(st: _State) -> _State:
+        Qx = _mv(Q, st.x)
+        # rx = Qx + p + G'z  with  G'z = -z_lo + z_hi  (+ A'y)
+        rx = Qx + p - st.z_lo + st.z_hi
+        ry = None
+        Aty = None
+        if A is not None:
+            Aty = _mtv(A, st.y)
+            rx = rx + Aty
+            ry = _mv(A, st.x) - b
+        # rz = Gx + s - h:  lo: -x + s_lo + lb ;  hi: x + s_hi - ub
+        rz_lo = -st.x + st.s_lo + lb
+        rz_hi = st.x + st.s_hi - ub
+
+        # --- stopping (same relative criterion as the general solver).
+        prim = jnp.maximum(_inf(rz_lo), _inf(rz_hi))
+        tolp_norm = jnp.maximum(
+            jnp.maximum(_inf(st.x), jnp.maximum(_inf(st.s_lo),
+                                                _inf(st.s_hi))),
+            jnp.maximum(lb_norm, ub_norm))
+        dual = _inf(rx)
+        told_norm = jnp.maximum(
+            jnp.maximum(_inf(Qx), p_norm),
+            jnp.maximum(_inf(st.z_lo), _inf(st.z_hi)))
+        if ry is not None:
+            prim = jnp.maximum(prim, _inf(ry))
+            tolp_norm = jnp.maximum(tolp_norm, b_norm)
+            told_norm = jnp.maximum(told_norm, _inf(Aty))
+        comp = jnp.maximum(jnp.max(st.s_lo * st.z_lo, axis=-1),
+                           jnp.max(st.s_hi * st.z_hi, axis=-1))
+        z_norm = jnp.maximum(_inf(st.z_lo), _inf(st.z_hi))
+        conv_el = ((prim < eps_abs + eps_rel * tolp_norm)
+                   & (dual < eps_abs + eps_rel * told_norm)
+                   & (comp < eps_abs + eps_rel * z_norm))
+
+        d_lo = jnp.clip(st.z_lo / st.s_lo, 1.0 / d_cap, d_cap)
+        d_hi = jnp.clip(st.z_hi / st.s_hi, 1.0 / d_cap, d_cap)
+        fc = _factor(Q, A, d_lo + d_hi, int_reg)
+
+        def newton(rx_, rs_lo, rs_hi, rz_lo_, rz_hi_, ry_):
+            # rhs1 = -rx + G'(rs - d rz):
+            #   G'v = -v_lo + v_hi
+            rhs1_ = (-rx_ - (rs_lo - d_lo * rz_lo_)
+                     + (rs_hi - d_hi * rz_hi_))
+            dx, dy = _solve(fc, A, rhs1_,
+                            None if ry_ is None else ry_)
+            ds_lo = -rz_lo_ + dx          # ds = -rz - G dx; G dx|lo = -dx
+            ds_hi = -rz_hi_ - dx
+            dz_lo = -rs_lo - d_lo * ds_lo
+            dz_hi = -rs_hi - d_hi * ds_hi
+            return dx, ds_lo, ds_hi, dz_lo, dz_hi, dy
+
+        # --- affine step.
+        dxa, dsla, dsha, dzla, dzha, dya = newton(
+            rx, st.z_lo, st.z_hi, rz_lo, rz_hi, ry)
+        alpha = jnp.minimum(1.0, jnp.minimum(
+            jnp.minimum(_ratio(st.z_lo, dzla), _ratio(st.z_hi, dzha)),
+            jnp.minimum(_ratio(st.s_lo, dsla), _ratio(st.s_hi, dsha))))
+        alpha = (0.999 * alpha)[..., None]
+
+        mu = (jnp.sum(st.s_lo * st.z_lo + st.s_hi * st.z_hi, axis=-1)
+              / (2 * n))
+        mu_aff = (jnp.sum((st.s_lo + alpha * dsla) * (st.z_lo + alpha * dzla)
+                          + (st.s_hi + alpha * dsha)
+                          * (st.z_hi + alpha * dzha), axis=-1) / (2 * n))
+        sig = (mu_aff / mu) ** 3
+
+        # --- centering-corrector.
+        rs_lo_c = ((-mu * sig)[..., None] + dsla * dzla) / st.s_lo
+        rs_hi_c = ((-mu * sig)[..., None] + dsha * dzha) / st.s_hi
+        zero = jnp.zeros_like(rx)
+        zero_y = None if ry is None else jnp.zeros_like(ry)
+        dxc, dslc, dshc, dzlc, dzhc, dyc = newton(
+            zero, rs_lo_c, rs_hi_c, jnp.zeros_like(rz_lo),
+            jnp.zeros_like(rz_hi), zero_y)
+
+        dx = dxa + dxc
+        ds_lo, ds_hi = dsla + dslc, dsha + dshc
+        dz_lo, dz_hi = dzla + dzlc, dzha + dzhc
+        dy = None if dya is None else dya + dyc
+
+        alpha = jnp.minimum(1.0, jnp.minimum(
+            jnp.minimum(_ratio(st.z_lo, dz_lo), _ratio(st.z_hi, dz_hi)),
+            jnp.minimum(_ratio(st.s_lo, ds_lo), _ratio(st.s_hi, ds_hi))))
+        alpha = (0.999 * alpha)[..., None]
+        alpha = jnp.where(conv_el[..., None], 0.0, alpha)
+
+        return _State(
+            it=st.it + 1, x=st.x + alpha * dx,
+            s_lo=st.s_lo + alpha * ds_lo, s_hi=st.s_hi + alpha * ds_hi,
+            z_lo=st.z_lo + alpha * dz_lo, z_hi=st.z_hi + alpha * dz_hi,
+            y=None if st.y is None else st.y + alpha * dy,
+            primal=prim, dual=dual, converged=conv_el)
+
+    def cond(st: _State):
+        return (st.it < config.max_iters) & ~jnp.all(st.converged)
+
+    st = jax.lax.while_loop(cond, body, init)
+
+    x_fin, y_fin = st.x, st.y
+    if config.polish:
+        # Active-set polish, box form (see models/optnet.py): penalty on
+        # the active bound per coordinate; H = Q + diag(w), all elementwise
+        # except the factorization.
+        polish_w = jnp.asarray(1e6 if dtype == jnp.float32 else 1e8, dtype)
+        act_lo = st.z_lo > st.s_lo
+        act_hi = st.z_hi > st.s_hi
+        w_lo = jnp.where(act_lo, polish_w, 0.0)
+        w_hi = jnp.where(act_hi, polish_w, 0.0)
+        fcp = _factor(Q, A, w_lo + w_hi, 0.0)
+        rhs = -p + w_lo * lb + w_hi * ub
+        if A is None:
+            x_pol, y_pol = _mv(fcp.Hinv, rhs), None
+            rhs0 = -p
+        else:
+            t = _mv(fcp.Hinv, rhs)
+            y_pol = _mv(fcp.Sinv, _mv(A, t) - b)
+            x_pol = t - _mv(fcp.W, y_pol)
+            rhs0 = -p - _mtv(A, y_pol)
+        for _ in range(2):
+            resid_p = (rhs0 - _mv(Q, x_pol)
+                       - (w_lo * (x_pol - lb) + w_hi * (x_pol - ub)))
+            x_pol = x_pol + _mv(fcp.Hinv, resid_p)
+        viol_ip = jnp.max(jnp.maximum(lb - st.x, st.x - ub), axis=-1)
+        viol_pol = jnp.max(jnp.maximum(lb - x_pol, x_pol - ub), axis=-1)
+        thr = eps_abs + eps_rel * jnp.maximum(lb_norm, ub_norm)
+        ok = viol_pol <= jnp.maximum(viol_ip, thr)
+        x_fin = jnp.where(ok[..., None], x_pol, st.x)
+        if y_pol is not None:
+            y_fin = jnp.where(ok[..., None], y_pol, st.y)
+
+    lams = jnp.concatenate([jnp.maximum(st.z_lo, 1e-8),
+                            jnp.maximum(st.z_hi, 1e-8)], axis=-1)
+    z = jnp.clip(x_fin, lb, ub)
+    return BoxQPSolution(
+        x=x_fin, z=z, u=(st.z_hi - st.z_lo), lams=lams, nus=y_fin,
+        rho=jnp.ones((B,), dtype), iterations=st.it,
+        primal_residual=st.primal, dual_residual=st.dual,
+        converged=st.converged)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _boxip_implicit(config, Q, p, A, b, lb, ub):
+    return solve_box_qp_ip(Q, p, A, b, lb, ub, config).x
+
+
+def _boxip_fwd(config, Q, p, A, b, lb, ub):
+    sol = solve_box_qp_ip(Q, p, A, b, lb, ub, config)
+    return sol.x, (sol.x, sol.lams, sol.nus, Q, A, lb, ub)
+
+
+@solver_precision
+def _boxip_bwd(config, res, dl_dz):
+    x, lams, nus, Q, A, lb, ub = res
+    dQ, dp, dA, db, dlb, dub = bgrads.box_qp_grad_kkt(
+        dl_dz, x, lams, nus, Q, A, lb, ub)
+    if A is None:
+        dA, db = None, None
+    return dQ, dp, dA, db, dlb, dub
+
+
+_boxip_implicit.defvjp(_boxip_fwd, _boxip_bwd)
+
+
+def boxqp_ip(Q, p, A=None, b=None, lb=None, ub=None,
+             config: OptNetConfig = OptNetConfig()):
+    """Differentiable box-QP layer solved by the structured interior point
+    (KKT implicit backward).  Returns x in the caller's layout."""
+    pv = as_vector(p, "p")
+    bv = None if b is None else as_vector(b, "b")
+    lbv = as_vector(lb, "lb")
+    ubv = as_vector(ub, "ub")
+    x = _boxip_implicit(config, Q, pv, A, bv, lbv, ubv)
+    return like_layout(x, p)
