@@ -121,6 +121,14 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
         fwd = jax.jit(lambda *a: jnp.sum(ip_call(*a)))
         out["OptNet_IP"] = time_split(fwd, grad_fn(ip_call), gh_data, n_sims)
 
+        # Box-structured IP on the same problems (G = [-I; I] exploited
+        # analytically; same reference comparator as OptNet_IP).
+        from lqp_py_tpu.models.box_ip import boxqp_ip
+        bip_call = lambda Q, p, A, b, lb, ub: boxqp_ip(Q, p, A, b, lb, ub,
+                                                       config=ip_cfg)
+        fwd = jax.jit(lambda *a: jnp.sum(bip_call(*a)))
+        out["BoxIP"] = time_split(fwd, grad_fn(bip_call), box_data, n_sims)
+
     # Native CPU baseline (forward only; sequential like the reference SCS).
     from lqp_py_tpu.cpu import native
     if native.available():

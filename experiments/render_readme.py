@@ -18,19 +18,21 @@ END = "<!-- END AUTOGEN NUMBERS -->"
 
 # Reference ADMM-FP/KKT/Unroll/OptNet/SCS totals (s) read off the published
 # charts (BASELINE.md; images/exp_1_n_*.png).
+# BoxIP shares OptNet's reference comparator (the reference's only IP,
+# benchmarked on the same box problems).
 REF = {
     10:   {"ADMM_FP": 0.025, "ADMM_KKT": 0.038, "ADMM_Unroll": 0.044,
-           "GenQP": 0.13, "OptNet_IP": 0.011},
+           "GenQP": 0.13, "OptNet_IP": 0.011, "BoxIP": 0.011},
     50:   {"ADMM_FP": 0.027, "ADMM_KKT": 0.14, "ADMM_Unroll": 0.050,
-           "GenQP": 0.28, "OptNet_IP": 0.20},
+           "GenQP": 0.28, "OptNet_IP": 0.20, "BoxIP": 0.20},
     100:  {"ADMM_FP": 0.068, "ADMM_KKT": 0.18, "ADMM_Unroll": 0.22,
-           "GenQP": 0.61, "OptNet_IP": 0.42},
+           "GenQP": 0.61, "OptNet_IP": 0.42, "BoxIP": 0.42},
     250:  {"ADMM_FP": 0.26, "ADMM_KKT": 0.89, "ADMM_Unroll": 0.88,
-           "GenQP": 3.2, "OptNet_IP": 3.6},
+           "GenQP": 3.2, "OptNet_IP": 3.6, "BoxIP": 3.6},
     500:  {"ADMM_FP": 0.75, "ADMM_KKT": 2.7, "ADMM_Unroll": 2.8,
-           "GenQP": 13.1, "OptNet_IP": 13.1},
+           "GenQP": 13.1, "OptNet_IP": 13.1, "BoxIP": 13.1},
     1000: {"ADMM_FP": 2.6, "ADMM_KKT": 9.5, "ADMM_Unroll": 9.5,
-           "GenQP": 80.0, "OptNet_IP": 70.0},
+           "GenQP": 80.0, "OptNet_IP": 70.0, "BoxIP": 70.0},
 }
 REF_EXP2_S = 27.0   # images/exp_2_n_500.png, ADMM-FP cumulative train time
 
@@ -64,11 +66,13 @@ def render():
     out.append("")
 
     results = {int(k): v for k, v in (exp1 or {}).get("results", {}).items()}
-    cols = ["ADMM_FP", "ADMM_KKT", "ADMM_Unroll", "GenQP", "OptNet_IP"]
+    cols = ["ADMM_FP", "ADMM_KKT", "ADMM_Unroll", "GenQP", "OptNet_IP",
+            "BoxIP"]
     names = {"ADMM_FP": "ADMM FP", "ADMM_KKT": "ADMM KKT",
              "ADMM_Unroll": "ADMM Unroll", "GenQP": "GenQP",
-             "OptNet_IP": "OptNet IP"}
-    refnames = {"GenQP": "ref SCS", "OptNet_IP": "ref OptNet"}
+             "OptNet_IP": "OptNet IP", "BoxIP": "Box IP"}
+    refnames = {"GenQP": "ref SCS", "OptNet_IP": "ref OptNet",
+                "BoxIP": "ref OptNet"}
     header = "| dz |"
     rule = "|----|"
     for c in cols:
