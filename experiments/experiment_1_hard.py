@@ -49,6 +49,9 @@ def run_size(n_x, n_batch, tol, n_sims):
     for name, cfg in {
         "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol,
                                backward="fixed_point"),
+        "ADMM_KKT": BoxQPConfig(eps_abs=tol, eps_rel=tol, backward="kkt"),
+        "ADMM_Unroll": BoxQPConfig(eps_abs=tol, eps_rel=tol, unroll=True,
+                                   unroll_iters=300, adaptive_rho=False),
         "ADMM_FP_noadapt": BoxQPConfig(eps_abs=tol, eps_rel=tol,
                                        adaptive_rho=False),
     }.items():
@@ -56,6 +59,22 @@ def run_size(n_x, n_batch, tol, n_sims):
             return jnp.sum(boxqp(Q, p, A, b, lb, ub, config=cfg))
         f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
         out[name] = time_fn(f, Q, p, A, b, lb, ub, n_sims=n_sims)
+
+    # Interior points on the hard set (reference runs qpth OptNet here).
+    from lqp_py_tpu import OptNetConfig
+    from lqp_py_tpu.models.box_ip import boxqp_ip
+    ip_cfg = OptNetConfig(tol=tol, max_iters=40)
+
+    def ip_loss(Q, p, A, b, lb, ub):
+        return jnp.sum(boxqp_ip(Q, p, A, b, lb, ub, config=ip_cfg))
+    f = jax.jit(jax.value_and_grad(ip_loss, argnums=(0, 1)))
+    out["BoxIP"] = time_fn(f, Q, p, A, b, lb, ub, n_sims=n_sims)
+    from lqp_py_tpu.models.box_ip import solve_box_qp_ip
+    ipsol = jax.jit(lambda *a: solve_box_qp_ip(*a, config=ip_cfg))(
+        Q, p, A, b, lb, ub)
+    _force(ipsol.x)
+    out["_BoxIP_iters"] = int(ipsol.iterations)
+    out["_BoxIP_n_converged"] = int(jnp.sum(ipsol.converged))
 
     # convergence stats for the default config
     sol = solve_box_qp(Q, p, A, b, lb, ub,
