@@ -100,3 +100,36 @@ def test_tp_sharded_solve_matches_and_partitions():
     # this size (ratio improves with n) but must clearly shrink.
     assert m_tp.argument_size_in_bytes < 0.35 * m_1.argument_size_in_bytes
     assert m_tp.temp_size_in_bytes < 0.7 * m_1.temp_size_in_bytes
+
+
+def test_genqp_and_ip_sharded_equivalence():
+    """GSPMD batch sharding is solver-agnostic: the general-inequality and
+    interior-point solvers must produce identical results when their batch
+    axis is sharded over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lqp_py_tpu import GenQPConfig, OptNetConfig
+    from lqp_py_tpu.models.genqp import solve_qp_gen
+    from lqp_py_tpu.models.box_ip import solve_box_qp_ip
+
+    data = create_qp_data(24, 8, seed=2, dtype=jnp.float64)
+    G, h = data.with_G_h()
+    mesh = make_mesh((8,), ("dp",))
+
+    def shard(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, P("dp", *([None] * (x.ndim - 1)))))
+
+    gcfg = GenQPConfig(eps_abs=1e-7, eps_rel=1e-7, max_iters=100000)
+    ref_g = solve_qp_gen(data.Q, data.p, data.A, data.b, G, h, config=gcfg)
+    sh_g = jax.jit(lambda *a: solve_qp_gen(*a, config=gcfg))(
+        shard(data.Q), shard(data.p), shard(data.A), shard(data.b),
+        shard(G), shard(h))
+    np.testing.assert_allclose(np.asarray(sh_g.x), np.asarray(ref_g.x),
+                               rtol=1e-10, atol=1e-12)
+
+    icfg = OptNetConfig(tol=1e-10, max_iters=60)
+    ref_i = solve_box_qp_ip(*data, config=icfg)
+    sh_i = jax.jit(lambda *a: solve_box_qp_ip(*a, config=icfg))(
+        *[shard(jnp.asarray(v)) for v in data])
+    np.testing.assert_allclose(np.asarray(sh_i.x), np.asarray(ref_i.x),
+                               rtol=1e-10, atol=1e-12)
