@@ -28,7 +28,6 @@ and dual extraction.  The *mechanics* are TPU-first instead of a port:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

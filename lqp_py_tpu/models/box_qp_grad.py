@@ -17,7 +17,7 @@ masking of the reference becomes ``jnp.where``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ x and zero-cone blocks, step function on the nonnegative block).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

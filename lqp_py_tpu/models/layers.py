@@ -16,7 +16,6 @@ Parity with the reference L3 layer (``SolveBoxQP`` / ``SolveBoxQPLayer`` /
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

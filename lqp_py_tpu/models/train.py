@@ -13,7 +13,7 @@ single jittable function, shardable over a ('dp', 'tp') mesh: batch over
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ flax analogues below make the QP layers drop-in components of linen models
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 

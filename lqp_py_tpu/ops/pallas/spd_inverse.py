@@ -41,7 +41,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 LEAF = 128          # SPD block size handled by one sweep kernel
 #: Batch elements per pallas program.  At m=128 f32 the in+out block
