@@ -85,11 +85,16 @@ class _GenState(NamedTuple):
 
 @solver_precision
 def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
-                 config: GenQPConfig = GenQPConfig()) -> QPSolution:
+                 config: GenQPConfig = GenQPConfig(),
+                 warm_start=None) -> QPSolution:
     """Forward solve.  G/h required (use the eqcon/uncon solvers otherwise).
 
     Shapes: Q (B,n,n); p (B,n[,1]); A (B,m,n); b (B,m[,1]); G (B,k,n);
     h (B,k[,1]).
+
+    ``warm_start``: optional previous ``QPSolution`` (x, lams, slacks in
+    unscaled layout) to initialize the iterates from — the same
+    solve/update/re-solve capability the box solver has.
     """
     if G is None:
         raise ValueError("solve_qp_gen requires G/h; use solve_qp_eqcon")
@@ -153,9 +158,20 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
     max_iters = int(config.max_iters)
 
     zeros_k = jnp.zeros((B, k), dtype)
+    if warm_start is not None:
+        # Map unscaled (x, slacks, lams) into scaled iterates: x_s = x / D,
+        # w_s = slacks * EG, and u_s = -lams / (rho EG) (lambda = -rho u EG
+        # at the fixed point, see the unscale block below).
+        x0 = as_vector(warm_start.x, "warm_start.x").astype(dtype) / D
+        w0 = as_vector(warm_start.slacks, "warm_start.slacks").astype(
+            dtype) * EG
+        u0 = -(as_vector(warm_start.lams, "warm_start.lams").astype(dtype)
+               / (rho0[..., None] * EG))
+    else:
+        x0, w0, u0 = jnp.zeros((B, n), dtype), zeros_k, zeros_k
     init = _GenState(
         it=jnp.zeros((), jnp.int32),
-        x=jnp.zeros((B, n), dtype), w=zeros_k, u=zeros_k,
+        x=x0, w=w0, u=u0,
         nu=None if As is None else jnp.zeros((B, As.shape[-2]), dtype),
         rho=rho0, factors=factors0,
         primal_error=jnp.full((B,), jnp.inf, dtype),

@@ -222,3 +222,24 @@ def test_genqp_jit():
                                           config=cfg).x)
     x = f(data.Q, data.p)
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_genqp_warm_start_cuts_iterations():
+    """Re-solving a drifted problem from the previous solution must
+    converge in far fewer iterations (serving workflow parity with the
+    box solver's warm_start)."""
+    data, G, h = _data_Gh(20, 4, seed=6)
+    # check_solved=5 so the iteration counter can resolve the warm-start
+    # gain (the default 25-iteration check interval quantizes it away).
+    cfg = _cfg(eps_abs=1e-7, eps_rel=1e-7, check_solved=5)
+    sol = solve_qp_gen(data.Q, data.p, data.A, data.b, G, h, config=cfg)
+    p2 = data.p + 0.005 * jax.random.normal(jax.random.PRNGKey(13),
+                                            data.p.shape, jnp.float64)
+    cold = solve_qp_gen(data.Q, p2, data.A, data.b, G, h, config=cfg)
+    warm = solve_qp_gen(data.Q, p2, data.A, data.b, G, h, config=cfg,
+                        warm_start=sol)
+    assert bool(jnp.all(warm.converged))
+    np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold.x),
+                               rtol=1e-4, atol=1e-5)
+    assert int(warm.iterations) < int(cold.iterations), (
+        int(warm.iterations), int(cold.iterations))
