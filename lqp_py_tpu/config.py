@@ -231,7 +231,7 @@ def genqp_control(**kwargs) -> GenQPConfig:
 #: Anderson acceleration, and wall-clock limits do not map onto a
 #: lock-step jitted batch.
 _SCS_UNSUPPORTED = {
-    "use_indirect", "mkl", "gpu", "eps_infeas", "acceleration_lookback",
+    "use_indirect", "mkl", "gpu", "acceleration_lookback",
     "acceleration_interval", "time_limit_secs", "write_data_filename",
     "log_csv_filename",
 }
@@ -261,6 +261,12 @@ def scs_control(**kwargs) -> GenQPConfig:
     # penalty), distinct from the 'normalize' preconditioning flag.
     if "scale" in kwargs:
         kwargs.setdefault("rho", float(kwargs.pop("scale")))
+    # SCS's eps_infeas maps onto the Farkas certificate tolerance and
+    # turns detection on (control.py:39-77 knob; capability:
+    # GenQPConfig.detect_infeasibility/eps_infeas).
+    if "eps_infeas" in kwargs:
+        kwargs.setdefault("detect_infeasibility", True)
+        kwargs["eps_infeas"] = float(kwargs["eps_infeas"])
     rename = {"normalize": "scale", "adaptive_scale": "adaptive_rho",
               "rho_x": "sigma"}
     out = {rename.get(k, k): v for k, v in kwargs.items()}

@@ -270,6 +270,14 @@ def solve_box_qp_ip(Q, p, A=None, b=None, lb=None, ub=None,
             x_pol = x_pol + _mv(fcp.Hinv, resid_p)
         viol_ip = jnp.max(jnp.maximum(lb - st.x, st.x - ub), axis=-1)
         viol_pol = jnp.max(jnp.maximum(lb - x_pol, x_pol - ub), axis=-1)
+        if A is not None:
+            # Refinement corrects through Hinv only (not the full KKT), so
+            # dx need not satisfy A dx = 0: include the equality residual
+            # in the acceptance test (see models/optnet.py polish).
+            viol_ip = jnp.maximum(
+                viol_ip, jnp.max(jnp.abs(_mv(A, st.x) - b), axis=-1))
+            viol_pol = jnp.maximum(
+                viol_pol, jnp.max(jnp.abs(_mv(A, x_pol) - b), axis=-1))
         thr = eps_abs + eps_rel * jnp.maximum(lb_norm, ub_norm)
         ok = viol_pol <= jnp.maximum(viol_ip, thr)
         x_fin = jnp.where(ok[..., None], x_pol, st.x)

@@ -195,8 +195,27 @@ def _pad_identity(M, pad):
 
 
 def _pad_factors(f: "lin.KKTFactors", pad):
-    """Pad cached KKT factors to the aligned size (P/W with zeros — the
-    padded coordinates' r is identically 0 — L with an identity block)."""
+    """Resize cached KKT factors to the aligned size.
+
+    pad > 0: pad (P/W with zeros — the padded coordinates' r is identically
+    0 — L with an identity block).  pad < 0: slice — valid because the
+    factors were built from an identity-padded Q with zero-padded A
+    columns, so the padded block is exactly decoupled: the KKT matrix is
+    block-diagonal there and P (its inverse), L (its Cholesky), and W all
+    restrict exactly to the leading block.  This happens when
+    prepare_box_qp aligned to a larger tile than the solve-time config
+    (e.g. prepared with use_pallas_step=True at 256, solved without at
+    128)."""
+    if pad < 0:
+        m = pad  # negative: target size offset from the end
+
+        def _cut(a):
+            return a[..., :a.shape[-2] + m, :a.shape[-1] + m]
+
+        return f.replace(
+            P=None if f.P is None else _cut(f.P),
+            L=None if f.L is None else _cut(f.L),
+            W=None if f.W is None else f.W[..., :f.W.shape[-2] + m, :])
     return f.replace(
         P=None if f.P is None else jnp.pad(f.P,
                                            ((0, 0), (0, pad), (0, pad))),

@@ -200,10 +200,13 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         if config.adaptive_rho_per_element:
             upd_mask = st.do_rho_update & el_outside
         else:
-            # Ablation: reference rescale-all behavior
-            # (solve_box_qp_admm_torch.py:247-250).
-            upd_mask = jnp.broadcast_to(jnp.any(el_outside),
-                                        el_outside.shape)
+            # Reference rescale-all behavior: any element outside the band
+            # triggers a batch-wide rescale, but the assignment is still
+            # masked by do_rho_update — converged-enough elements keep
+            # their rho (solve_box_qp_admm_torch.py:247-250, where the
+            # update indexes through the do_rho_update mask).
+            upd_mask = st.do_rho_update & jnp.broadcast_to(
+                jnp.any(el_outside), el_outside.shape)
         window = ((st.it >= adaptive_interval)
                   & (st.it < config.adaptive_rho_max_iter)
                   & ((st.it % adaptive_interval) < cs))

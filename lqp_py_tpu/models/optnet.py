@@ -488,6 +488,15 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
             x_pol = x_pol + _mv(fcp.Hinv, resid_p)
         viol_ip = jnp.max(jnp.maximum(_mv(G, st.x) - h, 0.0), axis=-1)
         viol_pol = jnp.max(jnp.maximum(_mv(G, x_pol) - h, 0.0), axis=-1)
+        if A is not None:
+            # The refinement residual is built from H = Q + G'WG only, so
+            # the correction dx is not tangent to {A dx = 0}: fold the
+            # equality residual into the acceptance test or a polished
+            # iterate can drift off A x = b yet still be accepted.
+            viol_ip = jnp.maximum(
+                viol_ip, jnp.max(jnp.abs(_mv(A, st.x) - b), axis=-1))
+            viol_pol = jnp.maximum(
+                viol_pol, jnp.max(jnp.abs(_mv(A, x_pol) - b), axis=-1))
         ok = viol_pol <= jnp.maximum(viol_ip, eps_abs + eps_rel * h_norm)
         x_fin = jnp.where(ok[..., None], x_pol, st.x)
         if y_pol is not None:

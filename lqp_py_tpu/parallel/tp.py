@@ -31,8 +31,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lqp_py_tpu.config import BoxQPConfig
+from lqp_py_tpu.config import BoxQPConfig, GenQPConfig, OptNetConfig
+from lqp_py_tpu.models.box_ip import solve_box_qp_ip
 from lqp_py_tpu.models.box_qp import solve_box_qp
+from lqp_py_tpu.models.genqp import solve_qp_gen
+from lqp_py_tpu.models.optnet import solve_qp_optnet
 from lqp_py_tpu.ops.linalg import lax_linalg_only
 
 
@@ -57,6 +60,27 @@ def shard_problem_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
             put(lb, vec), put(ub, vec))
 
 
+def _solve_tp(mesh, solver, args6, batch_axis, model_axis,
+              lower_only=False):
+    """Shared tp driver: every solver here takes six operands whose matrix
+    entries (ndim == 3: Q, A, G) get their column (n) axis over
+    ``model_axis`` and whose vector entries replicate over it.  The solve
+    is traced under ``lax_linalg_only`` so every factorization leaf —
+    ``spd_inverse_fast`` / ``spd_solve_fast`` are shared by the box ADMM,
+    genqp splitting, and both interior points — stays partitionable.
+    ``solver`` is a closure over its config taking the six placed args."""
+    mat, vec = _shardings(mesh, batch_axis, model_axis)
+    placed = tuple(
+        None if x is None else jax.device_put(
+            jnp.asarray(x), mat(x) if jnp.asarray(x).ndim == 3 else vec(x))
+        for x in args6)
+    with lax_linalg_only():
+        fn = jax.jit(solver)
+        if lower_only:
+            return fn.lower(*placed).compile().memory_analysis()
+        return fn(*placed)
+
+
 def solve_box_qp_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
                     config: BoxQPConfig = BoxQPConfig(),
                     batch_axis: str = "dp", model_axis: str = "tp"):
@@ -66,24 +90,64 @@ def solve_box_qp_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
     Semantics identical to ``solve_box_qp``; only the data layout differs.
     Returns a BoxQPSolution whose matrix-shaped internals lived sharded.
     """
-    args = shard_problem_tp(mesh, Q, p, A, b, lb, ub,
-                            batch_axis, model_axis)
-    with lax_linalg_only():
-        fn = jax.jit(lambda Q, p, A, b, lb, ub: solve_box_qp(
-            Q, p, A, b, lb, ub, config))
-        return fn(*args)
+    return _solve_tp(mesh,
+                     lambda *a: solve_box_qp(*a, config=config),
+                     (Q, p, A, b, lb, ub), batch_axis, model_axis)
+
+
+def solve_qp_gen_tp(mesh: Mesh, Q, p, A=None, b=None, G=None, h=None,
+                    config: GenQPConfig = GenQPConfig(),
+                    batch_axis: str = "dp", model_axis: str = "tp"):
+    """General-inequality (SCS-capability) solve with Q/A/G column-sharded
+    over ``model_axis``: the splitting's KKT factorization and the hot-loop
+    G/G' products partition the same way as the box solver's (all leaves
+    are the shared ``spd_*_fast`` shapes)."""
+    return _solve_tp(mesh,
+                     lambda *a: solve_qp_gen(*a, config=config),
+                     (Q, p, A, b, G, h), batch_axis, model_axis)
+
+
+def solve_qp_optnet_tp(mesh: Mesh, Q, p, A=None, b=None, G=None, h=None,
+                       config: OptNetConfig = OptNetConfig(),
+                       batch_axis: str = "dp", model_axis: str = "tp"):
+    """Interior-point solve with the condensed/schur factorization
+    column-sharded over ``model_axis`` (same ``spd_inverse_fast`` shapes
+    as the ADMM KKT operator)."""
+    return _solve_tp(mesh,
+                     lambda *a: solve_qp_optnet(*a, config=config),
+                     (Q, p, A, b, G, h), batch_axis, model_axis)
+
+
+def solve_box_qp_ip_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
+                       config: OptNetConfig = OptNetConfig(),
+                       batch_axis: str = "dp", model_axis: str = "tp"):
+    """Box-structured interior-point solve, column-sharded like the rest of
+    the family (its condensed operator is Q + diag, factorized through the
+    same partitionable leaves)."""
+    return _solve_tp(mesh,
+                     lambda *a: solve_box_qp_ip(*a, config=config),
+                     (Q, p, A, b, lb, ub), batch_axis, model_axis)
+
+
+_TP_SOLVERS = {
+    "box": (solve_box_qp, BoxQPConfig),
+    "genqp": (solve_qp_gen, GenQPConfig),
+    "optnet": (solve_qp_optnet, OptNetConfig),
+    "box_ip": (solve_box_qp_ip, OptNetConfig),
+}
 
 
 def lowered_tp_memory(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
-                      config: BoxQPConfig = BoxQPConfig(),
+                      config=None, solver: str = "box",
                       batch_axis: str = "dp", model_axis: str = "tp"):
-    """Compile the tp-sharded solve and return XLA's per-device memory
+    """Compile a tp-sharded solve and return XLA's per-device memory
     analysis (argument/output/temp bytes).  Used by tests and the scaling
-    experiment to prove the factorization is genuinely partitioned."""
-    args = shard_problem_tp(mesh, Q, p, A, b, lb, ub,
-                            batch_axis, model_axis)
-    with lax_linalg_only():
-        fn = jax.jit(lambda Q, p, A, b, lb, ub: solve_box_qp(
-            Q, p, A, b, lb, ub, config))
-        compiled = fn.lower(*args).compile()
-    return compiled.memory_analysis()
+    experiment to prove the factorization is genuinely partitioned.
+
+    ``solver``: 'box' (operands Q,p,A,b,lb,ub), 'genqp' or 'optnet'
+    (operands Q,p,A,b,G,h), 'box_ip' (box operands)."""
+    fn, default_cfg = _TP_SOLVERS[solver]
+    cfg = default_cfg() if config is None else config
+    return _solve_tp(mesh, lambda *a: fn(*a, config=cfg),
+                     (Q, p, A, b, lb, ub), batch_axis, model_axis,
+                     lower_only=True)

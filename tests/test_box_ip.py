@@ -73,3 +73,18 @@ def test_box_ip_grads_match_admm_layer():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-2, atol=1e-4,
                                    err_msg=f"box-IP vs ADMM grads: {name}")
+
+
+def test_box_ip_polish_preserves_equality_constraints():
+    """Same acceptance invariant as the general IP: the polish refinement
+    corrects through Hinv only, so accepted iterates must be gated on the
+    equality residual as well (advisor finding, round 2)."""
+    for seed in range(4):
+        data = create_qp_data(24, 4, seed=200 + seed, dtype=jnp.float64)
+        sol = solve_box_qp_ip(data.Q, data.p, data.A, data.b,
+                              data.lb, data.ub,
+                              config=OptNetConfig(tol=1e-9, max_iters=60,
+                                                  polish=True))
+        eq = jnp.max(jnp.abs(
+            jnp.einsum("bmi,bi->bm", data.A, sol.x) - data.b))
+        assert float(eq) < 1e-6, f"seed {seed}: |Ax-b| = {float(eq):.3e}"

@@ -177,3 +177,18 @@ def test_optnet_matches_boxqp_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-2, atol=1e-4,
                                    err_msg=f"IP vs ADMM grads: {name}")
+
+
+def test_polish_preserves_equality_constraints():
+    """Polish acceptance must include the equality residual: the refinement
+    correction goes through Hinv only (not the full KKT), so without the
+    equality term in the acceptance test a polished iterate can drift off
+    A x = b and still be accepted (advisor finding, round 2)."""
+    for seed in range(4):
+        data, G, h = _data_Gh(24, 4, seed=100 + seed)
+        sol = solve_qp_optnet(data.Q, data.p, data.A, data.b, G, h,
+                              config=OptNetConfig(tol=1e-9, max_iters=60,
+                                                  polish=True))
+        eq = jnp.max(jnp.abs(
+            jnp.einsum("bmi,bi->bm", data.A, sol.x) - data.b))
+        assert float(eq) < 1e-6, f"seed {seed}: |Ax-b| = {float(eq):.3e}"

@@ -133,3 +133,56 @@ def test_genqp_and_ip_sharded_equivalence():
         *[shard(jnp.asarray(v)) for v in data])
     np.testing.assert_allclose(np.asarray(sh_i.x), np.asarray(ref_i.x),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_tp_sharded_genqp_and_ip_match_and_partition():
+    """Round-3 generalization: the 'tp' column-sharding covers the whole
+    solver family, not just the box ADMM.  GenQP and both interior points
+    route their factorizations through the same partitionable
+    spd_*_fast leaves under lax_linalg_only; results must match the
+    unsharded solves and the genqp factorization temporaries must shrink
+    with the tp degree (no silent replication)."""
+    from lqp_py_tpu import GenQPConfig, OptNetConfig
+    from lqp_py_tpu.models.box_ip import solve_box_qp_ip
+    from lqp_py_tpu.models.genqp import solve_qp_gen
+    from lqp_py_tpu.models.optnet import solve_qp_optnet
+    from lqp_py_tpu.parallel.tp import (lowered_tp_memory,
+                                        solve_box_qp_ip_tp,
+                                        solve_qp_gen_tp, solve_qp_optnet_tp)
+
+    data = create_qp_data(64, 4, seed=5, dtype=jnp.float64)
+    G, h = data.with_G_h()
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+
+    gcfg = GenQPConfig(eps_abs=1e-7, eps_rel=1e-7, max_iters=100000)
+    ref_g = solve_qp_gen(data.Q, data.p, data.A, data.b, G, h, config=gcfg)
+    tp_g = solve_qp_gen_tp(mesh, data.Q, data.p, data.A, data.b, G, h,
+                           config=gcfg)
+    assert bool(jnp.all(tp_g.converged))
+    np.testing.assert_allclose(np.asarray(tp_g.x), np.asarray(ref_g.x),
+                               rtol=1e-6, atol=1e-8)
+
+    icfg = OptNetConfig(tol=1e-10, max_iters=60)
+    ref_i = solve_qp_optnet(data.Q, data.p, data.A, data.b, G, h,
+                            config=icfg)
+    tp_i = solve_qp_optnet_tp(mesh, data.Q, data.p, data.A, data.b, G, h,
+                              config=icfg)
+    np.testing.assert_allclose(np.asarray(tp_i.x), np.asarray(ref_i.x),
+                               rtol=1e-6, atol=1e-8)
+
+    ref_bi = solve_box_qp_ip(*data, config=icfg)
+    tp_bi = solve_box_qp_ip_tp(mesh, *data, config=icfg)
+    np.testing.assert_allclose(np.asarray(tp_bi.x), np.asarray(ref_bi.x),
+                               rtol=1e-6, atol=1e-8)
+
+    # Memory analysis at a size where the 128-leaf recursion partitions
+    # (compile only; no execution).
+    big = create_qp_data(256, 2, seed=6, dtype=jnp.float64)
+    Gb, hb = big.with_G_h()
+    m_tp = lowered_tp_memory(mesh, big.Q, big.p, big.A, big.b, Gb, hb,
+                             config=gcfg, solver="genqp")
+    m_1 = lowered_tp_memory(make_mesh((2, 1), ("dp", "tp")), big.Q, big.p,
+                            big.A, big.b, Gb, hb, config=gcfg,
+                            solver="genqp")
+    assert m_tp.argument_size_in_bytes < 0.35 * m_1.argument_size_in_bytes
+    assert m_tp.temp_size_in_bytes < 0.8 * m_1.temp_size_in_bytes
