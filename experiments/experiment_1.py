@@ -39,6 +39,78 @@ def _force(tree):
     _ = float(jnp.ravel(jnp.asarray(leaf))[0])
 
 
+# Per-mode deviation gate vs the tight-tolerance ADMM reference on sim 0
+# (f32; the IP x-accuracy floor at dz=1000 is ~6e-3 — PARITY.md #6 — so
+# 2e-2 catches a mis-tuned unroll_iters / max_iters drift without
+# flagging the known float32 floor).
+DEV_GATE = 2e-2
+
+
+def device_limited(call, args, K, n_reps=3):
+    """Marginal fwd+bwd time per solve with K DISTINCT solves chained in
+    one jit (lax.scan).  The per-call protocol charges every call the
+    remote-tunnel dispatch (~25-60 ms) that local hardware would not pay;
+    total/K amortizes it and measures the device itself.  Distinct Q and p
+    per step so XLA can neither CSE the solves nor hoist the factorization
+    out of the scan.  All problem arrays are jit arguments (closing over
+    the (B, 2n, n) G at dz=1000 would bake ~1 GB into the HLO)."""
+    Q, p = args[0], args[1]
+    dp = jax.random.normal(jax.random.PRNGKey(7), (K,) + p.shape,
+                           p.dtype) * 0.01
+    eye = jnp.eye(Q.shape[-1], dtype=Q.dtype)
+
+    @jax.jit
+    def chained(dp, *args):
+        Q, p = args[0], args[1]
+        rest = args[2:]
+
+        def body(c, d):
+            Qk = Q + jnp.abs(d[0, 0]) * eye
+
+            def loss(Qk, pk):
+                return jnp.sum(call(Qk, pk, *rest))
+            l, grads = jax.value_and_grad(loss, argnums=(0, 1))(Qk, p + d)
+            return c + l + sum(jnp.sum(jnp.abs(g)) for g in grads), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros((), Q.dtype), dp)
+        return out
+
+    _force(chained(dp, *args))   # compile
+    ts = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        _force(chained(dp, *args))
+        ts.append((time.perf_counter() - t0) / K)
+    return statistics.median(ts)
+
+
+def chain_length(n_x):
+    """Longer chains at small sizes, where per-solve device time is far
+    below the dispatch overhead being amortized."""
+    return 64 if n_x <= 50 else 16 if n_x <= 100 else 8 if n_x <= 250 else 4
+
+
+def quality_gate(name, x_mode, x_tight, converged=None, iterations=None):
+    """Convergence/accuracy stats for a timed mode (sim 0): nothing in the
+    timed path asserts the solves are good, so a config/generator drift
+    could silently benchmark non-converged solves.  Returns the record and
+    raises if the mode regressed."""
+    dev = float(jnp.max(jnp.abs(jnp.asarray(x_mode) - jnp.asarray(x_tight))))
+    rec = {"max_dev_x_vs_tight": dev}
+    if converged is not None:
+        rec["n_converged"] = int(jnp.sum(converged))
+        rec["n_problems"] = int(converged.shape[0])
+        assert rec["n_converged"] == rec["n_problems"], (
+            f"{name}: only {rec['n_converged']}/{rec['n_problems']} "
+            f"problems converged in the timed configuration")
+    if iterations is not None:
+        rec["iterations"] = int(iterations)
+    assert dev < DEV_GATE, (
+        f"{name}: max |x - x_tight| = {dev:.3e} exceeds the {DEV_GATE} "
+        f"gate — the timed configuration is returning inaccurate solves")
+    return rec
+
+
 def time_split(fwd_fn, tot_fn, data_for_seed, n_sims):
     """Reference protocol (/root/reference/experiments/experiment_1.py:55-101):
     fresh problem data per sim (seed=i), forward and forward+backward timed
@@ -91,6 +163,18 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
         G, h = data.with_G_h()
         return (data.Q, data.p, data.A, data.b, G, h)
 
+    args0_box = box_data(0)
+    args0_gh = gh_data(0)
+    K = chain_length(n_x)
+
+    # Tight-tolerance ADMM reference on sim 0: the accuracy comparator for
+    # every timed mode (gh_data(0) is the same QP with the box written as
+    # G = [-I; I], so one reference serves all modes).
+    from lqp_py_tpu import solve_box_qp
+    tight_cfg = BoxQPConfig(eps_abs=1e-6, eps_rel=1e-6, max_iters=2000)
+    x_tight = jax.jit(lambda *a: solve_box_qp(*a, tight_cfg).x)(*args0_box)
+    _force(x_tight)
+
     modes = {
         "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol,
                                backward="fixed_point"),
@@ -107,12 +191,35 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
             Q, p, A, b, lb, ub, config=cfg)
         fwd = jax.jit(lambda *a, call=call: jnp.sum(call(*a)))
         out[name] = time_split(fwd, grad_fn(call), box_data, n_sims)
+        out[name]["device_total"] = device_limited(call, args0_box, K)
+
+    # Convergence/accuracy gate for the while-loop ADMM (FP and KKT share
+    # the forward solve; only the backward formulation differs).
+    sol0 = jax.jit(lambda *a: solve_box_qp(*a, modes["ADMM_FP"]))(*args0_box)
+    q = quality_gate("ADMM", sol0.x, x_tight, sol0.converged,
+                     sol0.iterations)
+    out["ADMM_FP"].update(q)
+    out["ADMM_KKT"].update(q)
+
+    # The unrolled scan has no converged flag (fixed iteration count, x
+    # only) — the deviation gate is what catches an undersized
+    # unroll_iters.
+    from lqp_py_tpu.models.box_qp import solve_box_qp_unrolled
+    x_u = jax.jit(
+        lambda *a: solve_box_qp_unrolled(*a, modes["ADMM_Unroll"]))(
+            *args0_box)
+    out["ADMM_Unroll"].update(quality_gate("ADMM_Unroll", x_u, x_tight))
 
     gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol)
     gen_call = lambda Q, p, A, b, G, h: qp_gen(Q, p, A, b, G, h,
                                                config=gen_cfg)
     fwd = jax.jit(lambda *a: jnp.sum(gen_call(*a)))
     out["GenQP"] = time_split(fwd, grad_fn(gen_call), gh_data, n_sims)
+    out["GenQP"]["device_total"] = device_limited(gen_call, args0_gh, K)
+    from lqp_py_tpu.models.genqp import solve_qp_gen
+    sol_g = jax.jit(lambda *a: solve_qp_gen(*a, config=gen_cfg))(*args0_gh)
+    out["GenQP"].update(quality_gate("GenQP", sol_g.x, x_tight,
+                                     sol_g.converged, sol_g.iterations))
 
     if include_ip:
         ip_cfg = OptNetConfig(tol=tol, max_iters=30)
@@ -120,14 +227,28 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
                                                      config=ip_cfg)
         fwd = jax.jit(lambda *a: jnp.sum(ip_call(*a)))
         out["OptNet_IP"] = time_split(fwd, grad_fn(ip_call), gh_data, n_sims)
+        out["OptNet_IP"]["device_total"] = device_limited(ip_call, args0_gh,
+                                                          K)
+        from lqp_py_tpu.models.optnet import solve_qp_optnet
+        sol_i = jax.jit(
+            lambda *a: solve_qp_optnet(*a, config=ip_cfg))(*args0_gh)
+        out["OptNet_IP"].update(quality_gate(
+            "OptNet_IP", sol_i.x, x_tight, sol_i.converged,
+            sol_i.iterations))
 
         # Box-structured IP on the same problems (G = [-I; I] exploited
         # analytically; same reference comparator as OptNet_IP).
-        from lqp_py_tpu.models.box_ip import boxqp_ip
+        from lqp_py_tpu.models.box_ip import boxqp_ip, solve_box_qp_ip
         bip_call = lambda Q, p, A, b, lb, ub: boxqp_ip(Q, p, A, b, lb, ub,
                                                        config=ip_cfg)
         fwd = jax.jit(lambda *a: jnp.sum(bip_call(*a)))
         out["BoxIP"] = time_split(fwd, grad_fn(bip_call), box_data, n_sims)
+        out["BoxIP"]["device_total"] = device_limited(bip_call, args0_box, K)
+        sol_bi = jax.jit(
+            lambda *a: solve_box_qp_ip(*a, config=ip_cfg))(*args0_box)
+        out["BoxIP"].update(quality_gate(
+            "BoxIP", sol_bi.x, x_tight, sol_bi.converged,
+            sol_bi.iterations))
 
     # Native CPU baseline (forward only; sequential like the reference SCS).
     from lqp_py_tpu.cpu import native
@@ -182,6 +303,11 @@ def main():
     with open("exp1_results.json", "w") as f:
         json.dump({"device": str(jax.devices()[0]),
                    "n_batch": args.n_batch, "tol": args.tol,
+                   "n_sims": args.n_sims,
+                   "device_total_note": (
+                       "marginal s/solve over a chain of distinct fwd+bwd "
+                       "solves in one jit (chain_length(n_x) per size); "
+                       "amortizes per-call dispatch"),
                    "results": results}, f, indent=2)
     print("wrote exp1_results.json")
 

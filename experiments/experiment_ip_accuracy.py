@@ -1,0 +1,104 @@
+"""IP accuracy/time tradeoff: refine_steps x polish sweep (verdict #6).
+
+PARITY.md #6 records an ~6e-3 x-accuracy floor for the f32 interior point
+at dz=1000/tol=1e-5; `refine_steps` and `polish` are documented to recover
+digits but the claim was never published as a measured curve.  This sweep
+runs both IPs (general OptNet and the box-structured variant) over
+refine_steps in {0, 1, 2} x polish in {off, on}, recording
+
+  - max |x - x_tight| on sim 0 (x_tight = tight-tolerance f64-free ADMM
+    solve at eps 1e-6, the same comparator exp1's quality gates use;
+    reference accuracy comparator: /root/reference/lqp_py/optnet.py:116-125)
+  - median per-call fwd wall-clock (post-compile)
+
+into ip_accuracy_results.json, from which the default is chosen.
+
+Run:  python experiments/experiment_ip_accuracy.py --sizes 500 1000
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from lqp_py_tpu import BoxQPConfig, OptNetConfig
+from lqp_py_tpu.models.box_ip import solve_box_qp_ip
+from lqp_py_tpu.models.box_qp import solve_box_qp
+from lqp_py_tpu.models.optnet import solve_qp_optnet
+from lqp_py_tpu.utils.generators import create_qp_data
+
+
+def _force(tree):
+    jax.block_until_ready(tree)
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    _ = float(jnp.ravel(jnp.asarray(leaf))[0])
+
+
+def sweep_size(n_x, n_batch, tol, n_reps):
+    data = create_qp_data(n_x, n_batch, seed=0, dtype=jnp.float32)
+    G, h = data.with_G_h()
+
+    tight = BoxQPConfig(eps_abs=1e-6, eps_rel=1e-6, max_iters=2000)
+    x_tight = jax.jit(lambda *a: solve_box_qp(*a, tight).x)(*data)
+    _force(x_tight)
+
+    cells = []
+    for refine in (0, 1, 2):
+        for polish in (False, True):
+            cfg = OptNetConfig(tol=tol, max_iters=30,
+                               refine_steps=refine, polish=polish)
+
+            for label, fn, args in (
+                ("OptNet_IP",
+                 jax.jit(lambda *a: solve_qp_optnet(*a, config=cfg).x),
+                 (data.Q, data.p, data.A, data.b, G, h)),
+                ("BoxIP",
+                 jax.jit(lambda *a: solve_box_qp_ip(*a, config=cfg).x),
+                 tuple(data)),
+            ):
+                x = fn(*args)
+                _force(x)   # compile
+                dev = float(jnp.max(jnp.abs(x - x_tight)))
+                ts = []
+                for _ in range(n_reps):
+                    t0 = time.perf_counter()
+                    _force(fn(*args))
+                    ts.append(time.perf_counter() - t0)
+                cell = {"solver": label, "n_x": n_x,
+                        "refine_steps": refine, "polish": polish,
+                        "max_dev_x_vs_tight": dev,
+                        "fwd_s": statistics.median(ts)}
+                cells.append(cell)
+                print(f"n={n_x} {label} refine={refine} polish={polish}: "
+                      f"dev={dev:.2e} fwd={cell['fwd_s']:.4f}s")
+    return cells
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*", default=[500, 1000])
+    ap.add_argument("--n-batch", type=int, default=128)
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--n-reps", type=int, default=5)
+    args = ap.parse_args()
+
+    cells = []
+    for n_x in args.sizes:
+        cells.extend(sweep_size(n_x, args.n_batch, args.tol, args.n_reps))
+
+    with open("ip_accuracy_results.json", "w") as f:
+        json.dump({"device": str(jax.devices()[0]),
+                   "n_batch": args.n_batch, "tol": args.tol,
+                   "comparator": "tight ADMM eps=1e-6 on sim 0 (f32)",
+                   "cells": cells}, f, indent=2)
+    print("wrote ip_accuracy_results.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,12 +57,14 @@ def render():
 
     out = [BEGIN, ""]
     dev = (exp1 or bench or {}).get("device", "TPU")
+    n_sims = (exp1 or {}).get("n_sims", "n")
     out.append(
         f"Measured on one {dev} (steady-state, compile excluded), reference\n"
         f"Experiment-1 protocol (batch=128, tol 1e-5, fresh data per sim,\n"
-        f"median of forward+backward over {10} sims; per-mode fwd/bwd split\n"
-        f"and ~95% error bars are in `exp1_results.json`).  Reference\n"
-        f"numbers are its published CPU results (BASELINE.md):")
+        f"median of forward+backward over {n_sims} sims; per-mode fwd/bwd "
+        f"split,\n~95% error bars, and per-mode convergence/accuracy gates "
+        f"are in\n`exp1_results.json`).  Reference numbers are its "
+        f"published CPU results\n(BASELINE.md):")
     out.append("")
 
     results = {int(k): v for k, v in (exp1 or {}).get("results", {}).items()}
@@ -98,6 +100,52 @@ def render():
         out.append(row)
     out.append("")
 
+    # Device-limited table: the per-call numbers above charge every call
+    # ~25-60 ms of remote-tunnel dispatch that local hardware would not
+    # pay; the device_total columns chain distinct solves inside one jit
+    # and report the marginal per-solve cost — the device itself.
+    have_dev = any("device_total" in (results[dz].get(c) or {})
+                   for dz in results for c in cols)
+    if have_dev:
+        out.append(
+            "The same sweep, *device-limited* (distinct fwd+bwd solves "
+            "chained in one\njit; marginal s/solve — amortizes the per-call "
+            "tunnel dispatch, which is\nnot a property of the hardware; "
+            "speedup vs the same reference numbers):")
+        out.append("")
+        header2 = "| dz |"
+        rule2 = "|----|"
+        for c in cols:
+            header2 += f" {names[c]} | x |"
+            rule2 += "---------|----|"
+        out.append(header2)
+        out.append(rule2)
+        worst_dev_speedup = None
+        for dz in sorted(results):
+            row = f"| {dz} |"
+            for c in cols:
+                cell = results[dz].get(c) or {}
+                dt = cell.get("device_total") if isinstance(cell, dict) \
+                    else None
+                ref = REF.get(dz, {}).get(c)
+                if dt is not None:
+                    sp = ref / dt if ref else None
+                    row += f" {_fmt(dt, 4)} s |"
+                    row += f" {sp:.0f}x |" if sp else " — |"
+                    if sp is not None:
+                        worst_dev_speedup = (sp if worst_dev_speedup is None
+                                             else min(worst_dev_speedup, sp))
+                else:
+                    row += " — | — |"
+            out.append(row)
+        out.append("")
+        if worst_dev_speedup is not None:
+            out.append(
+                f"In device-limited terms the framework is faster than the "
+                f"reference in\n**every** cell of the table (worst cell: "
+                f"~{worst_dev_speedup:.0f}x).")
+            out.append("")
+
     mx = max(results) if results else None
     if mx:
         fp = speedups.get((mx, "ADMM_FP"))
@@ -122,10 +170,20 @@ def render():
             "tight ADMM solution to ~6e-3 in x with objective parity "
             "±2e-4.  See PARITY.md for the full semantics.)")
     if exp2:
-        out.append(
+        line = (
             f"End-to-end learning (Experiment 2, dz=500, 100 epochs): "
-            f"**{exp2['total_time_s']:.1f} s** vs the reference's ~"
-            f"{REF_EXP2_S:.0f} s (`exp2_results.json`).")
+            f"**{exp2['total_time_s']:.1f} s** driven\nstep-by-step from "
+            f"Python (the reference's shape) vs the reference's ~"
+            f"{REF_EXP2_S:.0f} s")
+        if "fused_total_s" in exp2:
+            line += (
+                f";\nfusing the whole horizon into one `lax.scan` dispatch "
+                f"— same math, same\nminibatch order, trajectories agree to "
+                f"{exp2['fused_vs_loop_loss_dev']:.0e} — runs it in "
+                f"**{exp2['fused_total_s']:.2f} s** "
+                f"(~{REF_EXP2_S/exp2['fused_total_s']:.0f}x)")
+        line += " (`exp2_results.json`)."
+        out.append(line)
     out.append("")
 
     if serving:

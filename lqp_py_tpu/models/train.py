@@ -65,3 +65,34 @@ def make_train_step(config: BoxQPConfig, lr: float = 5e-4):
         return params, loss
 
     return step
+
+
+def make_train_scan(config: BoxQPConfig, lr: float = 5e-4):
+    """Whole-run training as ONE jitted dispatch: ``lax.scan`` over the
+    epochs' minibatch index matrix, gathering each minibatch on device.
+
+    The per-step loop (``make_train_step`` driven from Python, the
+    reference's shape — experiments/experiment_2.py:43-99) pays one host
+    round-trip per epoch; through the remote tunnel that is ~55 ms/epoch of
+    dispatch with the device nearly idle.  Fusing the horizon into a scan
+    is the TPU-native way to run the same workload: identical math and
+    update order, one dispatch total.
+
+    Returns ``run(params, sel, features, Q, p_true, A, b, lb, ub) ->
+    (params, losses)`` where ``sel`` is an ``(epochs, mini_batch)`` int32
+    index matrix (precomputed on host so the sampling RNG matches the
+    per-step path exactly) and ``losses`` is the per-epoch loss
+    trajectory.
+    """
+    step = make_train_step(config, lr=lr)
+
+    def run(params, sel, features, Q, p_true, A, b, lb, ub):
+        data = (features, Q, p_true, A, b, lb, ub)
+
+        def body(params, idx):
+            mb = tuple(jnp.take(v, idx, axis=0) for v in data)
+            return step(params, *mb)
+
+        return jax.lax.scan(body, params, sel)
+
+    return run

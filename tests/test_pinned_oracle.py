@@ -1,0 +1,134 @@
+"""Pinned external-oracle regression set (round-2 verdict #7).
+
+The reference validates against cvxpy/SCS at runtime
+(demo/demo_solve_box_qp.py:62-73, experiments/experiment_1_new.py:51-56);
+cvxpy is not a dependency here, so ~5 fixed-seed problems from both
+generator families (with and without equality constraints) were solved ONCE
+with scipy's trust-constr interior point — an algorithm family independent
+of every in-repo solver — and the primal AND dual solutions pinned as
+constants (tools/make_pinned_oracle.py; each pinned solution passed the
+solver-independent KKT oracle at <1e-6 before being committed).
+
+Every solver family must reproduce x, lambda and nu: correctness no longer
+rests solely on in-house cross-agreement.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lqp_py_tpu import BoxQPConfig, GenQPConfig, OptNetConfig
+from lqp_py_tpu.models.box_ip import solve_box_qp_ip
+from lqp_py_tpu.models.box_qp import solve_box_qp
+from lqp_py_tpu.models.genqp import solve_qp_gen
+from lqp_py_tpu.models.optnet import solve_qp_optnet
+
+from _pinned_oracle_data import PROBLEMS
+
+
+def _batched(rec):
+    """Problem arrays with a leading batch axis of 1, as jnp f64."""
+    def b(v):
+        return None if v is None else jnp.asarray(v, jnp.float64)[None]
+    return (b(rec["Q"]), b(rec["p"]), b(rec["A"]), b(rec["b"]),
+            b(rec["lb"]), b(rec["ub"]))
+
+
+def _gh(rec):
+    n = rec["Q"].shape[-1]
+    eye = np.eye(n)
+    G = jnp.asarray(np.concatenate([-eye, eye], 0))[None]
+    h = jnp.concatenate([-jnp.asarray(rec["lb"]),
+                         jnp.asarray(rec["ub"])])[None]
+    return G, h
+
+
+def _check(name, rec, x, lams2n=None, nus=None,
+           x_tol=5e-6, dual_tol=5e-6):
+    np.testing.assert_allclose(np.asarray(x)[0], rec["x"],
+                               atol=x_tol, rtol=0,
+                               err_msg=f"{name}: primal x vs pinned scipy")
+    if lams2n is not None:
+        n = rec["x"].shape[0]
+        lam = np.asarray(lams2n)[0]
+        np.testing.assert_allclose(
+            lam[:n], rec["lam_lb"], atol=dual_tol, rtol=0,
+            err_msg=f"{name}: lambda_lb vs pinned scipy")
+        np.testing.assert_allclose(
+            lam[n:], rec["lam_ub"], atol=dual_tol, rtol=0,
+            err_msg=f"{name}: lambda_ub vs pinned scipy")
+    if rec["nu"] is not None:
+        assert nus is not None, f"{name}: solver returned no equality duals"
+        np.testing.assert_allclose(
+            np.asarray(nus)[0], rec["nu"], atol=dual_tol, rtol=0,
+            err_msg=f"{name}: nu vs pinned scipy")
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_box_admm_matches_pinned_oracle(name):
+    rec = PROBLEMS[name]
+    cfg = BoxQPConfig(eps_abs=1e-10, eps_rel=1e-10, max_iters=20000)
+    sol = solve_box_qp(*_batched(rec), cfg)
+    assert bool(jnp.all(sol.converged))
+    _check(f"ADMM/{name}", rec, sol.x, sol.lams, sol.nus)
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_box_ip_matches_pinned_oracle(name):
+    rec = PROBLEMS[name]
+    cfg = OptNetConfig(tol=1e-11, max_iters=100)
+    sol = solve_box_qp_ip(*_batched(rec), config=cfg)
+    _check(f"BoxIP/{name}", rec, sol.x, sol.lams, sol.nus)
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_genqp_matches_pinned_oracle(name):
+    rec = PROBLEMS[name]
+    Q, p, A, b, lb, ub = _batched(rec)
+    G, h = _gh(rec)
+    cfg = GenQPConfig(eps_abs=1e-9, eps_rel=1e-9, max_iters=200000)
+    sol = solve_qp_gen(Q, p, A, b, G, h, config=cfg)
+    assert bool(jnp.all(sol.converged))
+    # genqp lams are ordered along G's rows = [-I; I] = [lam_lb; lam_ub].
+    _check(f"GenQP/{name}", rec, sol.x, sol.lams, sol.nus,
+           x_tol=2e-5, dual_tol=2e-5)
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_optnet_ip_matches_pinned_oracle(name):
+    rec = PROBLEMS[name]
+    Q, p, A, b, lb, ub = _batched(rec)
+    G, h = _gh(rec)
+    cfg = OptNetConfig(tol=1e-11, max_iters=100)
+    sol = solve_qp_optnet(Q, p, A, b, G, h, config=cfg)
+    _check(f"OptNetIP/{name}", rec, sol.x, sol.lams, sol.nus)
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_numpy_cpu_matches_pinned_oracle(name):
+    from lqp_py_tpu.cpu.boxqp_numpy import solve_box_qp_np
+    rec = PROBLEMS[name]
+    sol = solve_box_qp_np(rec["Q"], rec["p"], rec["A"], rec["b"],
+                          rec["lb"], rec["ub"],
+                          eps_abs=1e-10, eps_rel=1e-10, max_iters=20000)
+    assert sol["converged"]
+    _check(f"numpy/{name}", rec, sol["x"][None], sol["lams"][None],
+           None if sol["nus"] is None else sol["nus"][None])
+
+
+def test_infeasible_problem_is_certified():
+    """The 6th pinned case: equality sum(x)=1 with every ub < 0 has no
+    feasible point — no oracle values to pin; the assertion is the
+    certificate itself (scipy's trust-constr cannot even express a Farkas
+    certificate, so this capability has no external comparator)."""
+    n = 12
+    rec = PROBLEMS["easy_eq"]
+    Q, p, A, b, lb, ub = _batched(rec)
+    lb = jnp.full_like(lb, -2.0)
+    ub = jnp.full_like(ub, -1.0)  # sum(x) <= -12 < 1 = b: infeasible
+    cfg = BoxQPConfig(eps_abs=1e-8, eps_rel=1e-8, max_iters=20000,
+                      detect_infeasibility=True)
+    sol = solve_box_qp(Q, p, A, b, lb, ub, cfg)
+    assert bool(jnp.all(sol.primal_infeasible))
+    assert not bool(jnp.any(sol.converged))

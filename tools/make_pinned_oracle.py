@@ -1,0 +1,206 @@
+"""Generate the pinned external-oracle regression set (tests/_pinned_oracle_data.py).
+
+The reference cross-checks its solvers against cvxpy/SCS at runtime
+(/root/reference/demo/demo_solve_box_qp.py:62-73,
+/root/reference/experiments/experiment_1_new.py:51-56).  cvxpy is not a
+runtime dependency here; instead this script solves a fixed set of small
+problems ONCE with scipy's trust-region interior point (`trust-constr` — an
+algorithm family independent of every in-repo solver) and pins the primal
+AND dual solutions as constants that `tests/test_pinned_oracle.py` asserts
+against.  Re-run only to regenerate the constants:
+
+    python tools/make_pinned_oracle.py
+
+Dual-sign convention (verified below by the in-repo KKT oracle before
+anything is pinned): scipy reports stationarity ``g + A'v_eq + v_b = 0``
+with ``g = Qx + p``, so against our convention
+``Qx + p - lam_lb + lam_ub + A'nu = 0``:
+
+    nu = v_eq,  lam_lb = max(-v_b, 0),  lam_ub = max(v_b, 0).
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+from scipy.optimize import LinearConstraint, minimize
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from lqp_py_tpu.utils.generators import (create_qp_data, generate_hard_qp,
+                                         kkt_residuals)
+
+
+def solve_scipy(Q, p, A, b, lb, ub):
+    """Single-problem tight trust-constr solve -> (x, lam_lb, lam_ub, nu)."""
+    n = Q.shape[0]
+
+    def f(x):
+        return 0.5 * x @ Q @ x + p @ x
+
+    def grad(x):
+        return Q @ x + p
+
+    cons = []
+    if A is not None:
+        cons.append(LinearConstraint(A, b, b))
+    x0 = np.clip(np.zeros(n), lb, ub)
+    res = minimize(f, x0, jac=grad, hess=lambda x: Q,
+                   bounds=list(zip(lb, ub)), constraints=cons,
+                   method="trust-constr",
+                   options={"gtol": 1e-12, "xtol": 1e-14,
+                            "barrier_tol": 1e-12, "maxiter": 5000})
+    assert res.status in (1, 2), f"scipy failed: {res.message}"
+    v_b = np.asarray(res.v[-1] if cons else res.v[0]).ravel()
+    # trust-constr orders multipliers [constraints..., bounds]; with one
+    # LinearConstraint, v[0] is the equality block and v[1] the bounds.
+    if cons:
+        nu = np.atleast_1d(np.asarray(res.v[0]).ravel())
+        v_b = np.asarray(res.v[1]).ravel()
+    else:
+        nu = None
+        v_b = np.asarray(res.v[0]).ravel()
+    lam_lb = np.maximum(-v_b, 0.0)
+    lam_ub = np.maximum(v_b, 0.0)
+    return polish_activeset(Q, p, A, b, lb, ub, np.asarray(res.x),
+                            (lam_lb, lam_ub, nu))
+
+
+def polish_activeset(Q, p, A, b, lb, ub, x, scipy_duals):
+    """Exact active-set refinement of the scipy solution.
+
+    trust-constr's barrier leaves the (lam, nu) split accurate only to
+    ~1e-5 near weakly-active bounds (dual near-degeneracy: stationarity is
+    1e-13 but small spurious lams on barely-inactive bounds shift nu).
+    Identify the active set from scipy's x, then solve the active-set KKT
+    system exactly with dense linear algebra — the pinned values come from
+    a direct solve, not from any iterative algorithm family in the repo.
+    Falls back to the raw scipy duals if the refinement is inconsistent
+    (negative multiplier / bound violation)."""
+    n = Q.shape[0]
+    thresh = 1e-6 * (1.0 + np.abs(ub - lb))
+    act_lb = (x - lb) < thresh
+    act_ub = (ub - x) < thresh
+
+    for _ in range(n):  # drop-negative loop terminates: active set shrinks
+        rows = []
+        rhs = []
+        if A is not None:
+            rows.append(A)
+            rhs.append(b)
+        idx_lb = np.flatnonzero(act_lb)
+        idx_ub = np.flatnonzero(act_ub & ~act_lb)
+        E = np.zeros((len(idx_lb) + len(idx_ub), n))
+        E[np.arange(len(idx_lb)), idx_lb] = 1.0
+        E[len(idx_lb) + np.arange(len(idx_ub)), idx_ub] = 1.0
+        rows.append(E)
+        rhs.append(np.concatenate([lb[idx_lb], ub[idx_ub]]))
+        C = np.vstack(rows)
+        d = np.concatenate(rhs)
+        m = C.shape[0]
+        K = np.block([[Q, C.T], [C, np.zeros((m, m))]])
+        sol = np.linalg.lstsq(K, np.concatenate([-p, d]), rcond=None)[0]
+        x_ref, mult = sol[:n], sol[n:]
+        m_eq = 0 if A is None else A.shape[0]
+        nu = mult[:m_eq] if m_eq else None
+        mu = mult[m_eq:]
+        lam_lb = np.zeros(n)
+        lam_ub = np.zeros(n)
+        # Stationarity Qx + p + A'nu + E'mu = 0 vs our convention
+        # Qx + p - lam_lb + lam_ub + A'nu = 0:
+        lam_lb[idx_lb] = -mu[:len(idx_lb)]
+        lam_ub[idx_ub] = mu[len(idx_lb):]
+        neg = (lam_lb < -1e-10) | (lam_ub < -1e-10)
+        if neg.any():   # wrong active-set guess: release and re-solve
+            act_lb &= ~(lam_lb < -1e-10)
+            act_ub &= ~(lam_ub < -1e-10)
+            continue
+        ok = (np.all(x_ref >= lb - 1e-9) and np.all(x_ref <= ub + 1e-9)
+              and np.max(np.abs(x_ref - x)) < 1e-4)
+        if not ok:
+            break
+        return x_ref, np.maximum(lam_lb, 0.0), np.maximum(lam_ub, 0.0), nu
+
+    print("  (active-set polish inconsistent; keeping raw scipy duals)")
+    return (x,) + scipy_duals
+
+
+def pin_problem(name, data, drop_eq=False):
+    Q = np.asarray(data.Q[0], np.float64)
+    p = np.asarray(data.p[0], np.float64)
+    A = None if drop_eq else np.asarray(data.A[0], np.float64)
+    b = None if drop_eq else np.asarray(data.b[0], np.float64)
+    lb = np.asarray(data.lb[0], np.float64)
+    ub = np.asarray(data.ub[0], np.float64)
+
+    x, lam_lb, lam_ub, nu = solve_scipy(Q, p, A, b, lb, ub)
+
+    # Validate the pinned solution with the solver-independent KKT oracle
+    # BEFORE committing it — this also verifies the scipy dual-sign
+    # conversion above.
+    r = kkt_residuals(
+        jnp.asarray(Q)[None], jnp.asarray(p)[None],
+        None if A is None else jnp.asarray(A)[None],
+        None if b is None else jnp.asarray(b)[None],
+        jnp.asarray(lb)[None], jnp.asarray(ub)[None],
+        jnp.asarray(x)[None],
+        jnp.concatenate([jnp.asarray(lam_lb), jnp.asarray(lam_ub)])[None],
+        None if nu is None else jnp.asarray(nu)[None])
+    worst = max(float(jnp.max(v)) for v in r.values())
+    print(f"{name}: KKT residual of pinned scipy solution = {worst:.2e}")
+    # The active-set polish solves the KKT system directly, so residuals
+    # should be near machine precision.
+    assert worst < 1e-8, f"{name}: pinned solution fails the KKT oracle"
+
+    return {"Q": Q, "p": p, "A": A, "b": b, "lb": lb, "ub": ub,
+            "x": x, "lam_lb": lam_lb, "lam_ub": lam_ub, "nu": nu,
+            "kkt_residual": worst}
+
+
+def main():
+    problems = {}
+    # Family 1 (create_qp_data): dense well-conditioned SPD + sum equality.
+    problems["easy_eq"] = pin_problem(
+        "easy_eq", create_qp_data(12, 1, seed=101, dtype=jnp.float64))
+    problems["easy_noeq"] = pin_problem(
+        "easy_noeq", create_qp_data(12, 1, seed=102, dtype=jnp.float64),
+        drop_eq=True)
+    problems["easy_eq_n20"] = pin_problem(
+        "easy_eq_n20", create_qp_data(20, 1, seed=103, dtype=jnp.float64))
+    # Family 2 (generate_hard_qp): sparse ridge Q, sqrt(n) equality rows.
+    problems["hard_eq"] = pin_problem(
+        "hard_eq", generate_hard_qp(16, 1, seed=104, dtype=jnp.float64))
+    problems["hard_noeq"] = pin_problem(
+        "hard_noeq", generate_hard_qp(16, 1, seed=105, dtype=jnp.float64),
+        drop_eq=True)
+
+    with open("tests/_pinned_oracle_data.py", "w") as f:
+        f.write('"""Pinned external-oracle solutions — GENERATED by\n'
+                "tools/make_pinned_oracle.py (scipy trust-constr, f64,\n"
+                "gtol 1e-12); every entry passed the in-repo KKT oracle at\n"
+                "<1e-7 before being pinned.  Do not edit by hand.\"\"\"\n\n"
+                "import numpy as np\n\nPROBLEMS = {\n")
+        for name, rec in problems.items():
+            f.write(f"  {name!r}: {{\n")
+            for k, v in rec.items():
+                if v is None:
+                    f.write(f"    {k!r}: None,\n")
+                elif isinstance(v, float):
+                    f.write(f"    {k!r}: {v!r},\n")
+                else:
+                    f.write(f"    {k!r}: np.array(\n"
+                            f"      {np.array2string(v, separator=', ', threshold=10**6, precision=17, floatmode='maxprec')},\n"
+                            f"      dtype=np.float64),\n")
+            f.write("  },\n")
+        f.write("}\n")
+    print(f"wrote tests/_pinned_oracle_data.py ({len(problems)} problems)")
+
+
+if __name__ == "__main__":
+    main()
