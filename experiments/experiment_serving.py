@@ -112,6 +112,39 @@ def main():
     results["fused_per_solve"] = t_fused
     results["fused_iters"] = [int(i) for i in f_iters]
 
+    # --- same serving shape for the general-inequality solver (round-3
+    # capability: prepare_qp_gen + solve_qp_gen_prepared + warm_start).
+    from lqp_py_tpu import GenQPConfig, prepare_qp_gen, solve_qp_gen_prepared
+    G, h = data.with_G_h()
+    gcfg = GenQPConfig(eps_abs=args.tol, eps_rel=args.tol)
+    gprep = prepare_qp_gen(Q, A, b, G, h, config=gcfg)
+
+    @jax.jit
+    def gen_first(gprep, p):
+        s = solve_qp_gen_prepared(gprep, p, config=gcfg)
+        return s, jnp.sum(s.x)
+
+    @jax.jit
+    def rollout_gen(gprep, p0, drifts, sol0):
+        def step(carry, dp):
+            p, prev = carry
+            p = p + args.drift * dp
+            s = solve_qp_gen_prepared(gprep, p, config=gcfg,
+                                      warm_start=prev)
+            return (p, s), (jnp.sum(s.x), s.iterations)
+        (_, _), (sums, iters) = jax.lax.scan(step, (p0, sol0), drifts)
+        return sums, iters
+
+    sol_g, c = gen_first(gprep, p0)
+    _force(c)
+    sums_g, g_iters = rollout_gen(gprep, p0, drifts, sol_g)
+    _force(sums_g)
+    t0 = time.perf_counter()
+    sums_g, g_iters = rollout_gen(gprep, p0, drifts, sol_g)
+    _force(sums_g)
+    results["genqp_fused_per_solve"] = (time.perf_counter() - t0) / args.steps
+    results["genqp_fused_iters"] = [int(i) for i in g_iters]
+
     import statistics
     med_c = statistics.median(results["cold"])
     med_w = statistics.median(results["warm"])
@@ -126,6 +159,9 @@ def main():
           f"{t_fused*1e3:.1f} ms/solve, "
           f"iters {statistics.median(results['fused_iters'])}  "
           f"({med_c/t_fused:.2f}x faster than cold)")
+    print(f"genqp fused rollout: "
+          f"{results['genqp_fused_per_solve']*1e3:.1f} ms/solve, "
+          f"iters {statistics.median(results['genqp_fused_iters'])}")
 
     with open("exp_serving_results.json", "w") as f:
         json.dump({"device": str(jax.devices()[0]), "n_x": args.n_x,

@@ -199,6 +199,12 @@ def render():
             f"dz={serving['n_x']}/batch={serving['n_batch']}\n"
             f"(vs {med_cold*1e3:.1f} ms cold per-call dispatch, "
             f"{med_cold/fused:.1f}x; `exp_serving_results.json`).")
+        if "genqp_fused_per_solve" in serving:
+            out.append(
+                f"The same split exists for the general-inequality solver "
+                f"(`prepare_qp_gen` +\n`solve_qp_gen_prepared`): "
+                f"{serving['genqp_fused_per_solve']*1e3:.1f} ms per solve "
+                f"in the fused rollout.")
         out.append("")
 
     if bench:

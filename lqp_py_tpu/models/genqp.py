@@ -83,33 +83,46 @@ class _GenState(NamedTuple):
     pinf: jax.Array
 
 
-@solver_precision
-def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
-                 config: GenQPConfig = GenQPConfig(),
-                 warm_start=None) -> QPSolution:
-    """Forward solve.  G/h required (use the eqcon/uncon solvers otherwise).
+from flax import struct as _struct
 
-    Shapes: Q (B,n,n); p (B,n[,1]); A (B,m,n); b (B,m[,1]); G (B,k,n);
-    h (B,k[,1]).
 
-    ``warm_start``: optional previous ``QPSolution`` (x, lams, slacks in
-    unscaled layout) to initialize the iterates from — the same
-    solve/update/re-solve capability the box solver has.
+@_struct.dataclass
+class GenQPPrepared:
+    """p-independent state of a general-inequality QP family: scaled data,
+    auto-rho and the x-step KKT factorization.
+
+    Produced by ``prepare_qp_gen``; consumed by ``solve_qp_gen_prepared``.
+    Same serving/MPC capability as ``prepare_box_qp`` (fixed Q/A/G/h,
+    drifting p): skips the scaling + factorization on every call and
+    composes with ``warm_start``.  Carries ``GtG`` so the in-loop adaptive
+    refactorization still works against the cached scaling.
     """
+    Qs: jax.Array
+    As: Optional[jax.Array]
+    bs: Optional[jax.Array]
+    Gs: jax.Array
+    hs: jax.Array
+    D: jax.Array
+    EG: jax.Array
+    EA: Optional[jax.Array]
+    rho0: jax.Array
+    GtG: jax.Array
+    factors: lin.KKTFactors
+
+
+def _gen_prepare(Q, A, b, G, h, config) -> GenQPPrepared:
+    """Everything in the forward solve that does not depend on ``p``."""
     if G is None:
         raise ValueError("solve_qp_gen requires G/h; use solve_qp_eqcon")
     Q = jnp.asarray(Q)
     Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
     dtype = Q.dtype
-    p = as_vector(p, "p").astype(dtype)
     G = jnp.asarray(G, dtype)
     h = as_vector(h, "h").astype(dtype)
     A = None if A is None else jnp.asarray(A, dtype)
     b = None if b is None else as_vector(b, "b").astype(dtype)
-    B, n = p.shape
+    B, n = Q.shape[0], Q.shape[-1]
     k = G.shape[-2]
-
-    p_norm = _inf_norm(p)
 
     # --- scaling: Jacobi D from Q columns, row equilibration of A and G.
     if config.scale:
@@ -119,7 +132,6 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
                            jnp.broadcast_to(fill, Q_norm.shape), Q_norm)
         D = jnp.sqrt(1.0 / Q_norm)
         Qs = D[..., :, None] * Q * D[..., None, :]
-        ps = D * p
         Gs, hs, EG = _row_equilibrate(G * D[..., None, :], h)
         if A is not None:
             As, bs, EA = _row_equilibrate(A * D[..., None, :], b)
@@ -129,7 +141,7 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
         D = jnp.ones((B, n), dtype)
         EG = jnp.ones((B, k), dtype)
         EA = None if A is None else jnp.ones_like(b)
-        Qs, ps, Gs, hs, As, bs = Q, p, G, h, A, b
+        Qs, Gs, hs, As, bs = Q, G, h, A, b
 
     # --- rho selection.
     if config.rho is None:
@@ -143,13 +155,64 @@ def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
     GtG = jnp.einsum("...ki,...kj->...ij", Gs, Gs,
                      preferred_element_type=dtype)
     sigma = jnp.asarray(config.sigma, dtype)
+    H = Qs + rho0[..., None, None] * GtG + sigma * jnp.eye(n, dtype=dtype)
+    factors0 = lin.factorize_kkt(H, 0.0, As, mode="inverse")
+    return GenQPPrepared(Qs=Qs, As=As, bs=bs, Gs=Gs, hs=hs, D=D, EG=EG,
+                         EA=EA, rho0=rho0, GtG=GtG, factors=factors0)
+
+
+@solver_precision
+def prepare_qp_gen(Q, A=None, b=None, G=None, h=None,
+                   config: GenQPConfig = GenQPConfig()) -> GenQPPrepared:
+    """Precompute the p-independent state (scaling, auto-rho, x-step KKT
+    factorization) of a general-inequality QP family for serving."""
+    return _gen_prepare(Q, A, b, G, h, config)
+
+
+@solver_precision
+def solve_qp_gen_prepared(prep: GenQPPrepared, p,
+                          config: GenQPConfig = GenQPConfig(),
+                          warm_start=None) -> QPSolution:
+    """Solve for a new cost vector ``p`` against a cached preparation."""
+    pv = as_vector(p, "p").astype(prep.Qs.dtype)
+    return _solve_gen_scaled(config, prep, prep.D * pv, _inf_norm(pv),
+                             warm_start)
+
+
+@solver_precision
+def solve_qp_gen(Q, p, A=None, b=None, G=None, h=None,
+                 config: GenQPConfig = GenQPConfig(),
+                 warm_start=None) -> QPSolution:
+    """Forward solve.  G/h required (use the eqcon/uncon solvers otherwise).
+
+    Shapes: Q (B,n,n); p (B,n[,1]); A (B,m,n); b (B,m[,1]); G (B,k,n);
+    h (B,k[,1]).
+
+    ``warm_start``: optional previous ``QPSolution`` (x, lams, slacks in
+    unscaled layout) to initialize the iterates from — the same
+    solve/update/re-solve capability the box solver has.
+    """
+    prep = _gen_prepare(Q, A, b, G, h, config)
+    pv = as_vector(p, "p").astype(prep.Qs.dtype)
+    return _solve_gen_scaled(config, prep, prep.D * pv, _inf_norm(pv),
+                             warm_start)
+
+
+def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
+                      warm_start) -> QPSolution:
+    """The splitting loop on an already-scaled, already-factorized family."""
+    Qs, As, bs, Gs, hs = prep.Qs, prep.As, prep.bs, prep.Gs, prep.hs
+    D, EG, EA, rho0, factors0 = prep.D, prep.EG, prep.EA, prep.rho0, \
+        prep.factors
+    dtype = ps.dtype
+    B, n = ps.shape
+    k = Gs.shape[-2]
+    sigma = jnp.asarray(config.sigma, dtype)
     eye = jnp.eye(n, dtype=dtype)
 
     def factorize(rho):
-        H = Qs + rho[..., None, None] * GtG + sigma * eye
+        H = Qs + rho[..., None, None] * prep.GtG + sigma * eye
         return lin.factorize_kkt(H, 0.0, As, mode="inverse")
-
-    factors0 = factorize(rho0)
 
     eps_abs = max(float(config.eps_abs), 1e-12)
     eps_rel = max(float(config.eps_rel), 1e-12)

@@ -236,3 +236,42 @@ def test_fused_train_scan_matches_per_step_loop():
     for a, b_ in zip(params_fused, params_loop):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_genqp_prepare_solve_prepared_matches_direct():
+    """Serving split for the general-inequality solver: prepare_qp_gen +
+    solve_qp_gen_prepared must match solve_qp_gen exactly (same scaling,
+    rho, factors) and compose with warm_start (box-parity capability)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lqp_py_tpu import (GenQPConfig, prepare_qp_gen, solve_qp_gen,
+                            solve_qp_gen_prepared)
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    data = create_qp_data(24, 4, seed=9, dtype=jnp.float64)
+    G, h = data.with_G_h()
+    cfg = GenQPConfig(eps_abs=1e-8, eps_rel=1e-8)
+
+    direct = solve_qp_gen(data.Q, data.p, data.A, data.b, G, h, config=cfg)
+    prep = prepare_qp_gen(data.Q, data.A, data.b, G, h, config=cfg)
+    served = solve_qp_gen_prepared(prep, data.p, config=cfg)
+    np.testing.assert_allclose(np.asarray(served.x), np.asarray(direct.x),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(served.lams),
+                               np.asarray(direct.lams),
+                               rtol=1e-10, atol=1e-12)
+    assert int(served.iterations) == int(direct.iterations)
+
+    # Warm re-solve from the previous solution: near-immediate convergence.
+    warm = solve_qp_gen_prepared(prep, data.p, config=cfg, warm_start=served)
+    assert bool(jnp.all(warm.converged))
+    assert int(warm.iterations) < int(direct.iterations) // 4
+
+    # Drifting p (the serving pattern): still converges and matches a
+    # direct solve on the new p.
+    p2 = data.p + 0.05
+    served2 = solve_qp_gen_prepared(prep, p2, config=cfg, warm_start=served)
+    direct2 = solve_qp_gen(data.Q, p2, data.A, data.b, G, h, config=cfg)
+    assert bool(jnp.all(served2.converged))
+    np.testing.assert_allclose(np.asarray(served2.x),
+                               np.asarray(direct2.x), rtol=1e-6, atol=1e-8)
