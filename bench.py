@@ -27,13 +27,9 @@ from lqp_py_tpu import BoxQPConfig, boxqp, solve_box_qp
 from lqp_py_tpu.utils.generators import create_qp_data
 
 
-def _force(tree):
-    """Block until fully executed.  ``block_until_ready`` alone can be lazy
-    on experimental remote platforms, so also read one element back."""
-    jax.block_until_ready(tree)
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    _ = float(jnp.ravel(jnp.asarray(leaf))[0])
-    return tree
+# block_until_ready alone can be lazy on experimental remote platforms;
+# force() also reads one element back.
+from lqp_py_tpu.utils.profiling import force as _force  # noqa: E402
 
 
 def _checksum(tree):
@@ -147,6 +143,7 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
 
     return {
         "n_x": n_x, "n_batch": n_batch, "tol": tol,
+        "dtype": jnp.dtype(dtype).name,
         "sweep_residual_inf": sweep_res,
         "fwd_s": statistics.median(fwd_times),
         "total_s": statistics.median(tot_times),
@@ -197,10 +194,12 @@ def main():
         if (old.get("device") == detail["device"]
                 and old.get("platform") == detail["platform"]):
             fresh = {r["n_x"] for r in detail["results"]}
+            dtype_name = jnp.dtype(dtype).name
             keep = [r for r in old.get("results", [])
                     if r.get("n_x") not in fresh
                     and r.get("n_batch") == args.n_batch
-                    and r.get("tol") == args.tol]
+                    and r.get("tol") == args.tol
+                    and r.get("dtype") == dtype_name]
             detail["results"] = sorted(
                 detail["results"] + keep, key=lambda r: r["n_x"])
     except (FileNotFoundError, json.JSONDecodeError, KeyError):

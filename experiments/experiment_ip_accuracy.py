@@ -34,10 +34,7 @@ from lqp_py_tpu.models.optnet import solve_qp_optnet
 from lqp_py_tpu.utils.generators import create_qp_data
 
 
-def _force(tree):
-    jax.block_until_ready(tree)
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    _ = float(jnp.ravel(jnp.asarray(leaf))[0])
+from lqp_py_tpu.utils.profiling import force as _force  # noqa: E402
 
 
 def sweep_size(n_x, n_batch, tol, n_reps):

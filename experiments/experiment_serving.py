@@ -26,9 +26,7 @@ from lqp_py_tpu.models.box_qp import prepare_box_qp, solve_box_qp_prepared
 from lqp_py_tpu.utils.generators import create_qp_data
 
 
-def _force(x):
-    jax.block_until_ready(x)
-    return float(jnp.ravel(jax.tree_util.tree_leaves(x)[0])[0])
+from lqp_py_tpu.utils.profiling import force as _force  # noqa: E402
 
 
 def main():

@@ -121,6 +121,7 @@ def render():
         out.append(header2)
         out.append(rule2)
         worst_dev_speedup = None
+        all_cells_compared = True
         for dz in sorted(results):
             row = f"| {dz} |"
             for c in cols:
@@ -135,15 +136,26 @@ def render():
                     if sp is not None:
                         worst_dev_speedup = (sp if worst_dev_speedup is None
                                              else min(worst_dev_speedup, sp))
+                    else:
+                        all_cells_compared = False
                 else:
                     row += " — | — |"
+                    all_cells_compared = False
             out.append(row)
         out.append("")
-        if worst_dev_speedup is not None:
+        # Only claim a clean sweep when every cell was actually compared
+        # and actually won.
+        if worst_dev_speedup is not None and worst_dev_speedup > 1.0 \
+                and all_cells_compared:
             out.append(
                 f"In device-limited terms the framework is faster than the "
                 f"reference in\n**every** cell of the table (worst cell: "
-                f"~{worst_dev_speedup:.0f}x).")
+                f"~{worst_dev_speedup:.1f}x).")
+            out.append("")
+        elif worst_dev_speedup is not None:
+            out.append(
+                f"Worst measured device-limited cell vs the reference: "
+                f"~{worst_dev_speedup:.1f}x.")
             out.append("")
 
     mx = max(results) if results else None

@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from flax import struct as _struct
 
 from lqp_py_tpu.config import GenQPConfig
 from lqp_py_tpu.models import box_qp_grad as bgrads
@@ -83,7 +84,15 @@ class _GenState(NamedTuple):
     pinf: jax.Array
 
 
-from flax import struct as _struct
+def _gen_prep_key(config: GenQPConfig):
+    """The config fields baked into a preparation (scaling + auto-rho +
+    factorization).  A solve against cached factors must agree on these —
+    the in-loop adaptive refactorization would otherwise silently mix two
+    different x-step operators in one solve."""
+    return (float(config.sigma), bool(config.scale),
+            None if config.rho is None else float(config.rho),
+            float(config.rho_scale), float(config.rho_min),
+            float(config.rho_max))
 
 
 @_struct.dataclass
@@ -108,6 +117,9 @@ class GenQPPrepared:
     rho0: jax.Array
     GtG: jax.Array
     factors: lin.KKTFactors
+    #: static metadata: the prepare-config fields the factors depend on
+    #: (see _gen_prep_key); solve_qp_gen_prepared raises on a mismatch.
+    key: tuple = _struct.field(pytree_node=False, default=())
 
 
 def _gen_prepare(Q, A, b, G, h, config) -> GenQPPrepared:
@@ -158,7 +170,8 @@ def _gen_prepare(Q, A, b, G, h, config) -> GenQPPrepared:
     H = Qs + rho0[..., None, None] * GtG + sigma * jnp.eye(n, dtype=dtype)
     factors0 = lin.factorize_kkt(H, 0.0, As, mode="inverse")
     return GenQPPrepared(Qs=Qs, As=As, bs=bs, Gs=Gs, hs=hs, D=D, EG=EG,
-                         EA=EA, rho0=rho0, GtG=GtG, factors=factors0)
+                         EA=EA, rho0=rho0, GtG=GtG, factors=factors0,
+                         key=_gen_prep_key(config))
 
 
 @solver_precision
@@ -174,6 +187,13 @@ def solve_qp_gen_prepared(prep: GenQPPrepared, p,
                           config: GenQPConfig = GenQPConfig(),
                           warm_start=None) -> QPSolution:
     """Solve for a new cost vector ``p`` against a cached preparation."""
+    if prep.key and prep.key != _gen_prep_key(config):
+        raise ValueError(
+            f"GenQPPrepared was built with "
+            f"(sigma, scale, rho, rho_scale, rho_min, rho_max)={prep.key} "
+            f"but the solve config has {_gen_prep_key(config)}; re-run "
+            f"prepare_qp_gen with the matching config (the cached factors "
+            f"and in-loop refactorization must use the same operator)")
     pv = as_vector(p, "p").astype(prep.Qs.dtype)
     return _solve_gen_scaled(config, prep, prep.D * pv, _inf_norm(pv),
                              warm_start)

@@ -63,17 +63,27 @@ def shard_problem_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
 def _solve_tp(mesh, solver, args6, batch_axis, model_axis,
               lower_only=False):
     """Shared tp driver: every solver here takes six operands whose matrix
-    entries (ndim == 3: Q, A, G) get their column (n) axis over
-    ``model_axis`` and whose vector entries replicate over it.  The solve
-    is traced under ``lax_linalg_only`` so every factorization leaf —
-    ``spd_inverse_fast`` / ``spd_solve_fast`` are shared by the box ADMM,
-    genqp splitting, and both interior points — stays partitionable.
-    ``solver`` is a closure over its config taking the six placed args."""
+    entries (Q, A, G) get their column (n) axis over ``model_axis`` and
+    whose vector entries replicate over it.  The solve is traced under
+    ``lax_linalg_only`` so every factorization leaf — ``spd_inverse_fast``
+    / ``spd_solve_fast`` are shared by the box ADMM, genqp splitting, and
+    both interior points — stays partitionable.  ``solver`` is a closure
+    over its config taking the six placed args.
+
+    Vectors in the documented ``(B, n, 1)`` layout are canonicalized to
+    ``(B, n)`` before placement — classifying them by ndim alone would
+    shard their size-1 trailing axis over ``model_axis`` and fail."""
     mat, vec = _shardings(mesh, batch_axis, model_axis)
-    placed = tuple(
-        None if x is None else jax.device_put(
-            jnp.asarray(x), mat(x) if jnp.asarray(x).ndim == 3 else vec(x))
-        for x in args6)
+
+    def place(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        if x.ndim == 3 and x.shape[-1] == 1:   # (B, n, 1) vector layout
+            x = x[..., 0]
+        return jax.device_put(x, mat(x) if x.ndim == 3 else vec(x))
+
+    placed = tuple(place(x) for x in args6)
     with lax_linalg_only():
         fn = jax.jit(solver)
         if lower_only:

@@ -275,3 +275,22 @@ def test_genqp_prepare_solve_prepared_matches_direct():
     assert bool(jnp.all(served2.converged))
     np.testing.assert_allclose(np.asarray(served2.x),
                                np.asarray(direct2.x), rtol=1e-6, atol=1e-8)
+
+
+def test_genqp_prepared_config_mismatch_raises():
+    """Cached genqp factors depend on sigma/scale/rho*; a solve config
+    that disagrees must raise (the in-loop adaptive refactorization would
+    silently mix two different x-step operators otherwise)."""
+    import jax.numpy as jnp
+    import pytest
+    from lqp_py_tpu import GenQPConfig, prepare_qp_gen, solve_qp_gen_prepared
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    data = create_qp_data(16, 2, seed=13, dtype=jnp.float64)
+    G, h = data.with_G_h()
+    prep = prepare_qp_gen(data.Q, data.A, data.b, G, h,
+                          config=GenQPConfig())
+    with pytest.raises(ValueError, match="matching config"):
+        solve_qp_gen_prepared(prep, data.p, config=GenQPConfig(sigma=1e-3))
+    with pytest.raises(ValueError, match="matching config"):
+        solve_qp_gen_prepared(prep, data.p, config=GenQPConfig(scale=False))

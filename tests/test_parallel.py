@@ -186,3 +186,20 @@ def test_tp_sharded_genqp_and_ip_match_and_partition():
                             solver="genqp")
     assert m_tp.argument_size_in_bytes < 0.35 * m_1.argument_size_in_bytes
     assert m_tp.temp_size_in_bytes < 0.8 * m_1.temp_size_in_bytes
+
+
+def test_tp_accepts_column_vector_layout():
+    """Vectors in the documented (B, n, 1) layout must be canonicalized
+    before placement, not misclassified as matrices and sharded over 'tp'
+    on the size-1 trailing axis (round-3 review regression)."""
+    from lqp_py_tpu.parallel.tp import solve_box_qp_tp
+
+    data = create_qp_data(32, 4, seed=11, dtype=jnp.float64)
+    mesh = make_mesh((2, 2), ("dp", "tp"))
+    cfg = BoxQPConfig(eps_abs=1e-8, eps_rel=1e-8)
+    ref = solve_box_qp(*data, config=cfg)
+    col = solve_box_qp_tp(mesh, data.Q, data.p[..., None], data.A,
+                          data.b[..., None], data.lb[..., None],
+                          data.ub[..., None], config=cfg)
+    np.testing.assert_allclose(np.asarray(col.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)

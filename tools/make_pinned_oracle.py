@@ -57,7 +57,6 @@ def solve_scipy(Q, p, A, b, lb, ub):
                    options={"gtol": 1e-12, "xtol": 1e-14,
                             "barrier_tol": 1e-12, "maxiter": 5000})
     assert res.status in (1, 2), f"scipy failed: {res.message}"
-    v_b = np.asarray(res.v[-1] if cons else res.v[0]).ravel()
     # trust-constr orders multipliers [constraints..., bounds]; with one
     # LinearConstraint, v[0] is the equality block and v[1] the bounds.
     if cons:
