@@ -29,7 +29,7 @@ from lqp_py_tpu.models.eqcon import qp_eqcon, solve_qp_eqcon
 from lqp_py_tpu.models.uncon import qp_uncon, solve_qp_uncon
 from lqp_py_tpu.models.optnet import OptNetLayer, qp_optnet, solve_qp_optnet
 from lqp_py_tpu.models.box_ip import boxqp_ip, solve_box_qp_ip
-from lqp_py_tpu.models.genqp import (GenQPLayer, prepare_qp_gen,
+from lqp_py_tpu.models.genqp import (GenQP, GenQPLayer, prepare_qp_gen,
                                      qp_gen, solve_qp_gen,
                                      solve_qp_gen_prepared)
 
@@ -46,5 +46,5 @@ __all__ = [
     "qp_eqcon", "solve_qp_eqcon", "qp_uncon", "solve_qp_uncon",
     "OptNetLayer", "qp_optnet", "solve_qp_optnet",
     "boxqp_ip", "solve_box_qp_ip",
-    "GenQPLayer", "qp_gen", "solve_qp_gen",
+    "GenQP", "GenQPLayer", "qp_gen", "solve_qp_gen",
 ]

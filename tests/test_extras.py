@@ -294,3 +294,43 @@ def test_genqp_prepared_config_mismatch_raises():
         solve_qp_gen_prepared(prep, data.p, config=GenQPConfig(sigma=1e-3))
     with pytest.raises(ValueError, match="matching config"):
         solve_qp_gen_prepared(prep, data.p, config=GenQPConfig(scale=False))
+
+
+def test_stateful_genqp_solve_update_resolve():
+    """GenQP (stateful wrapper): p-only update keeps the cached prep and
+    warm-starts; touching G invalidates it; results always match direct
+    solves."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lqp_py_tpu import GenQP, GenQPConfig, solve_qp_gen
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    data = create_qp_data(20, 3, seed=17, dtype=jnp.float64)
+    G, h = data.with_G_h()
+    cfg = GenQPConfig(eps_abs=1e-8, eps_rel=1e-8)
+    m = GenQP(data.Q, data.p, data.A, data.b, G, h, control=cfg,
+              warm_start=True)
+    x1 = m.solve()
+    ref1 = solve_qp_gen(data.Q, data.p, data.A, data.b, G, h, config=cfg)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(ref1.x),
+                               rtol=1e-10, atol=1e-12)
+
+    prep_before = m._prep
+    p2 = data.p + 0.1
+    m.update(p=p2)
+    assert m._prep is prep_before  # p-only: cache kept
+    x2 = m.solve()
+    ref2 = solve_qp_gen(data.Q, p2, data.A, data.b, G, h, config=cfg)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ref2.x),
+                               rtol=1e-6, atol=1e-8)
+    assert int(m.sol.iterations) < int(ref2.iterations)  # warm started
+
+    h2 = h + 0.5
+    m.update(h=h2)
+    assert m._prep is None  # constraint change invalidates the cache
+    x3 = m.solve()
+    ref3 = solve_qp_gen(data.Q, p2, data.A, data.b, G, h2, config=cfg)
+    # Warm and cold starts converge to the same point only up to the
+    # stopping tolerance; measured deviation ~9e-8 at eps 1e-8.
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(ref3.x),
+                               rtol=1e-5, atol=1e-6)
