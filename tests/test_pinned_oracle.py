@@ -132,3 +132,47 @@ def test_infeasible_problem_is_certified():
     sol = solve_box_qp(Q, p, A, b, lb, ub, cfg)
     assert bool(jnp.all(sol.primal_infeasible))
     assert not bool(jnp.any(sol.converged))
+
+
+from _pinned_oracle_data import EQ_PROBLEMS
+
+
+def test_eqcon_matches_pinned_oracle():
+    from lqp_py_tpu.models.eqcon import solve_qp_eqcon
+    rec = EQ_PROBLEMS["eqcon"]
+    sol = solve_qp_eqcon(jnp.asarray(rec["Q"])[None],
+                         jnp.asarray(rec["p"])[None],
+                         jnp.asarray(rec["A"])[None],
+                         jnp.asarray(rec["b"])[None])
+    np.testing.assert_allclose(np.asarray(sol.x)[0], rec["x"],
+                               atol=1e-9, rtol=0)
+    np.testing.assert_allclose(np.asarray(sol.nus)[0], rec["nu"],
+                               atol=1e-9, rtol=0)
+
+
+def test_uncon_matches_pinned_oracle():
+    from lqp_py_tpu.models.uncon import solve_qp_uncon
+    rec = EQ_PROBLEMS["uncon"]
+    sol = solve_qp_uncon(jnp.asarray(rec["Q"])[None],
+                         jnp.asarray(rec["p"])[None])
+    np.testing.assert_allclose(np.asarray(sol.x)[0], rec["x"],
+                               atol=1e-9, rtol=0)
+
+
+def test_box_admm_with_infinite_bounds_matches_eqcon_pin():
+    """Cross-family: the box solver with lb=-inf/ub=+inf degenerates to the
+    equality-constrained problem (rho forced to 0, single-step path) and
+    must land on the same pinned solution."""
+    rec = EQ_PROBLEMS["eqcon"]
+    n = rec["x"].shape[0]
+    cfg = BoxQPConfig(eps_abs=1e-10, eps_rel=1e-10)
+    sol = solve_box_qp(jnp.asarray(rec["Q"])[None],
+                       jnp.asarray(rec["p"])[None],
+                       jnp.asarray(rec["A"])[None],
+                       jnp.asarray(rec["b"])[None],
+                       jnp.full((1, n), -jnp.inf),
+                       jnp.full((1, n), jnp.inf), cfg)
+    np.testing.assert_allclose(np.asarray(sol.x)[0], rec["x"],
+                               atol=1e-7, rtol=0)
+    np.testing.assert_allclose(np.asarray(sol.nus)[0], rec["nu"],
+                               atol=1e-7, rtol=0)

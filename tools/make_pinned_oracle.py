@@ -162,6 +162,35 @@ def pin_problem(name, data, drop_eq=False):
             "kkt_residual": worst}
 
 
+def pin_problem_eq(name, Q, p, A=None, b=None):
+    """Equality-constrained / unconstrained pin: scipy trust-constr solve,
+    then one exact KKT refinement (direct lstsq — machine precision), and
+    a stationarity check before pinning."""
+    n = Q.shape[0]
+    cons = [] if A is None else [LinearConstraint(A, b, b)]
+    res = minimize(lambda x: 0.5 * x @ Q @ x + p @ x, np.zeros(n),
+                   jac=lambda x: Q @ x + p, hess=lambda x: Q,
+                   constraints=cons, method="trust-constr",
+                   options={"gtol": 1e-12, "xtol": 1e-14, "maxiter": 5000})
+    assert res.status in (1, 2), f"scipy failed: {res.message}"
+    if A is None:
+        x = np.linalg.lstsq(Q, -p, rcond=None)[0]
+        nu = None
+        stat = Q @ x + p
+    else:
+        m = A.shape[0]
+        K = np.block([[Q, A.T], [A, np.zeros((m, m))]])
+        sol = np.linalg.lstsq(K, np.concatenate([-p, b]), rcond=None)[0]
+        x, nu = sol[:n], sol[n:]
+        stat = Q @ x + p + A.T @ nu
+        assert np.max(np.abs(A @ x - b)) < 1e-9
+    assert np.max(np.abs(x - res.x)) < 1e-5, \
+        f"{name}: refinement far from the scipy iterate"
+    assert np.max(np.abs(stat)) < 1e-9
+    print(f"{name}: stationarity {np.max(np.abs(stat)):.2e}")
+    return {"Q": Q, "p": p, "A": A, "b": b, "x": x, "nu": nu}
+
+
 def main():
     problems = {}
     # Family 1 (create_qp_data): dense well-conditioned SPD + sum equality.
@@ -179,13 +208,19 @@ def main():
         "hard_noeq", generate_hard_qp(16, 1, seed=105, dtype=jnp.float64),
         drop_eq=True)
 
-    with open("tests/_pinned_oracle_data.py", "w") as f:
-        f.write('"""Pinned external-oracle solutions — GENERATED by\n'
-                "tools/make_pinned_oracle.py (scipy trust-constr, f64,\n"
-                "gtol 1e-12); every entry passed the in-repo KKT oracle at\n"
-                "<1e-7 before being pinned.  Do not edit by hand.\"\"\"\n\n"
-                "import numpy as np\n\nPROBLEMS = {\n")
-        for name, rec in problems.items():
+    # Equality-constrained and unconstrained families (their own dict —
+    # no bounds/lams fields).
+    d_eq = create_qp_data(14, 1, seed=106, dtype=jnp.float64)
+    eq_problems = {
+        "eqcon": pin_problem_eq(
+            "eqcon", np.asarray(d_eq.Q[0]), np.asarray(d_eq.p[0]),
+            np.asarray(d_eq.A[0]), np.asarray(d_eq.b[0])),
+        "uncon": pin_problem_eq(
+            "uncon", np.asarray(d_eq.Q[0]), np.asarray(d_eq.p[0])),
+    }
+
+    def dump(f, mapping):
+        for name, rec in mapping.items():
             f.write(f"  {name!r}: {{\n")
             for k, v in rec.items():
                 if v is None:
@@ -197,8 +232,20 @@ def main():
                             f"      {np.array2string(v, separator=', ', threshold=10**6, precision=17, floatmode='maxprec')},\n"
                             f"      dtype=np.float64),\n")
             f.write("  },\n")
+
+    with open("tests/_pinned_oracle_data.py", "w") as f:
+        f.write('"""Pinned external-oracle solutions — GENERATED by\n'
+                "tools/make_pinned_oracle.py (scipy trust-constr, f64,\n"
+                "gtol 1e-12, + exact active-set/KKT refinement); every\n"
+                "entry passed the in-repo KKT oracle before being pinned.\n"
+                "Do not edit by hand.\"\"\"\n\n"
+                "import numpy as np\n\nPROBLEMS = {\n")
+        dump(f, problems)
+        f.write("}\n\nEQ_PROBLEMS = {\n")
+        dump(f, eq_problems)
         f.write("}\n")
-    print(f"wrote tests/_pinned_oracle_data.py ({len(problems)} problems)")
+    print(f"wrote tests/_pinned_oracle_data.py "
+          f"({len(problems)} + {len(eq_problems)} problems)")
 
 
 if __name__ == "__main__":
