@@ -161,3 +161,54 @@ def test_fuzz_random_shapes_and_bound_patterns():
             eps_abs=1e-10, eps_rel=1e-10)
         dx = float(np.max(np.abs(np.asarray(sol.x[0]) - ref["x"])))
         assert dx < 1e-5, (n, B, seed, hard, mode, dx)
+
+
+def test_pinned_variables_lb_equals_ub():
+    """Degenerate box: lb == ub pins coordinates (equality via bounds).
+    The projection collapses those coordinates to the pin; the solve must
+    still converge and agree with the independent numpy oracle, and a
+    CROSSED pin (lb > ub) must raise the per-element data-infeasibility
+    certificate, not poison the rest of the batch."""
+    from lqp_py_tpu import box_qp_control, solve_box_qp
+    from lqp_py_tpu.cpu.boxqp_numpy import solve_box_qp_np
+
+    Q, p, A, b, lb, ub = [jnp.asarray(v) for v in
+                          create_qp_data(12, 3, seed=7,
+                                         dtype=jnp.float64)[:6]]
+    pin = 0.5 * (lb[:, :4] + ub[:, :4])
+    lb = lb.at[:, :4].set(pin)
+    ub = ub.at[:, :4].set(pin)
+    cfg = box_qp_control(eps_abs=1e-9, eps_rel=1e-9)
+    sol = solve_box_qp(Q, p, A, b, lb, ub, cfg)
+    assert bool(sol.converged.all())
+    assert float(jnp.max(jnp.abs(sol.x[:, :4] - pin))) < 1e-7
+    ref = solve_box_qp_np(np.asarray(Q[0]), np.asarray(p[0]),
+                          np.asarray(A[0]), np.asarray(b[0]),
+                          np.asarray(lb[0]), np.asarray(ub[0]),
+                          eps_abs=1e-10, eps_rel=1e-10)
+    assert float(np.max(np.abs(np.asarray(sol.x[0]) - ref["x"].ravel()))) \
+        < 1e-7
+
+    lb2 = lb.at[1, 5].set(2.0)
+    ub2 = ub.at[1, 5].set(1.0)
+    sol2 = solve_box_qp(Q, p, A, b, lb2, ub2, cfg)
+    assert bool(sol2.primal_infeasible[1])
+    assert not bool(sol2.primal_infeasible[0])
+    assert not bool(sol2.primal_infeasible[2])
+
+
+def test_tiny_problem_n1():
+    """n_x = 1 (scalar QP per element) — below every tile size; exercises
+    the pad/slice machinery at its extreme."""
+    from lqp_py_tpu import box_qp_control, solve_box_qp
+
+    B = 3
+    rng = np.random.default_rng(3)
+    Q = jnp.asarray(rng.uniform(0.5, 2.0, (B, 1, 1)))
+    p = jnp.asarray(rng.normal(size=(B, 1)))
+    lb, ub = -jnp.ones((B, 1)), jnp.ones((B, 1))
+    sol = solve_box_qp(Q, p, None, None, lb, ub,
+                       box_qp_control(eps_abs=1e-10, eps_rel=1e-10))
+    assert bool(sol.converged.all())
+    expect = jnp.clip(-p[:, 0] / Q[:, 0, 0], -1.0, 1.0)
+    assert float(jnp.max(jnp.abs(sol.x[:, 0] - expect))) < 1e-8
