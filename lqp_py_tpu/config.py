@@ -102,12 +102,27 @@ class BoxQPConfig:
     #: which lock-step XLA batching cannot do).  Runs in interpreter mode
     #: on CPU.
     use_pallas_step: bool = False
+    #: Anderson-acceleration window on the (z, u) ADMM fixed point (same
+    #: batched safeguarded type-II scheme as GenQPConfig.acceleration;
+    #: incompatible with use_pallas_step).  0 = off: the tuned defaults
+    #: already sit at the iteration floor (~21 at dz=1000) on the
+    #: random-SPD family; turn on for slowly-converging problems
+    #: (measured on the hard ill-conditioned set, see
+    #: experiments/experiment_1_hard.py artifacts).
+    acceleration: int = 0
+    aa_safeguard: float = 2.0      # see GenQPConfig.aa_safeguard
+    aa_reg: float = 1e-8           # see GenQPConfig.aa_reg
+    aa_max_weight: float = 1e3     # see GenQPConfig.aa_max_weight
 
     def __post_init__(self):
         if not (0.0 < self.alpha < 2.0):
             raise ValueError(
                 f"alpha must be in (0, 2) for ADMM convergence, got "
                 f"{self.alpha}")
+        if self.acceleration and self.use_pallas_step:
+            raise ValueError(
+                "acceleration requires use_pallas_step=False (the fused "
+                "kernel's in-VMEM iteration cannot carry the AA history)")
 
     def resolved_check_interval(self, n_x: int) -> int:
         cs = self.check_solved
@@ -206,6 +221,31 @@ class GenQPConfig:
     #: differences (the SCS eps_infeas capability).
     detect_infeasibility: bool = True
     eps_infeas: float = 1e-5
+    #: Anderson-acceleration window on the (w, u) splitting fixed point
+    #: (the SCS ``acceleration_lookback`` capability, batched and
+    #: lock-step: type-II AA with a sum-to-one combination solved from
+    #: regularized normal equations, per-element safeguarding).  0 = off
+    #: (default: on the random-SPD family the splitting already converges
+    #: in ~26 iterations and AA only adds per-iteration work; turn it on
+    #: for slowly-converging problems — measured 2-4x fewer iterations on
+    #: the hard ill-conditioned set, experiments/experiment_1_hard.py).
+    acceleration: int = 0
+    #: Per-element safeguard: if the fixed-point residual grows past this
+    #: factor times the BEST residual seen since the last reset, that
+    #: element takes the plain (un-accelerated) step and its AA history is
+    #: reset.  (A consecutive-iterate monitor is too weak: slow exponential
+    #: churn that grows < factor per iteration never trips it — measured as
+    #: a 201 -> 20000-iteration blow-up on the f32 hard set.)
+    aa_safeguard: float = 2.0
+    #: Tikhonov regularizer on the column-normalized AA normal equations
+    #: (relative to trace/m; the history columns are normalized to unit
+    #: 2-norm before forming R'R, or squaring the column-scale spread
+    #: destroys the f32 solve).
+    aa_reg: float = 1e-8
+    #: Reject the accelerated step (keep the plain one, no reset) when the
+    #: combination weights' 1-norm exceeds this — extrapolations that
+    #: aggressive amplify roundoff faster than they converge.
+    aa_max_weight: float = 1e3
 
 
 def box_qp_control(**kwargs) -> BoxQPConfig:
@@ -227,11 +267,12 @@ def genqp_control(**kwargs) -> GenQPConfig:
 #: Reference ``scs_control`` knobs (control.py:39-77) that have no
 #: counterpart in the TPU-native batched solver.  Deliberate scoping, not
 #: accidental drops — see PARITY.md ("conic knob surface") for rationale:
-#: the sequential C-solver plumbing (mkl/gpu/use_indirect/files), SCS's
-#: Anderson acceleration, and wall-clock limits do not map onto a
-#: lock-step jitted batch.
+#: the sequential C-solver plumbing (mkl/gpu/use_indirect/files),
+#: per-k AA scheduling, and wall-clock limits do not map onto a
+#: lock-step jitted batch.  (``acceleration_lookback`` itself DOES map —
+#: onto ``GenQPConfig.acceleration`` — since round 3.)
 _SCS_UNSUPPORTED = {
-    "use_indirect", "mkl", "gpu", "acceleration_lookback",
+    "use_indirect", "mkl", "gpu",
     "acceleration_interval", "time_limit_secs", "write_data_filename",
     "log_csv_filename",
 }
@@ -261,6 +302,11 @@ def scs_control(**kwargs) -> GenQPConfig:
     # penalty), distinct from the 'normalize' preconditioning flag.
     if "scale" in kwargs:
         kwargs.setdefault("rho", float(kwargs.pop("scale")))
+    # SCS's Anderson-acceleration window (negative = type-I in SCS; the
+    # batched implementation is type-II, so take the magnitude).
+    if "acceleration_lookback" in kwargs:
+        kwargs.setdefault(
+            "acceleration", abs(int(kwargs.pop("acceleration_lookback"))))
     # SCS's eps_infeas maps onto the Farkas certificate tolerance and
     # turns detection on (control.py:39-77 knob; capability:
     # GenQPConfig.detect_infeasibility/eps_infeas).

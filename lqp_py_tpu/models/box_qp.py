@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from lqp_py_tpu.config import BoxQPConfig
+from lqp_py_tpu.ops import anderson
 from lqp_py_tpu.ops import linalg as lin
 from lqp_py_tpu.ops import scaling as sca
 from lqp_py_tpu.ops.precision import solver_precision
@@ -64,6 +65,9 @@ class _LoopState(NamedTuple):
     u_chk: jax.Array               # (B, n) u at the previous check (unpadded)
     nu_chk: "Optional[jax.Array]"  # (B, m) nu at the previous check
     pinf: jax.Array                # (B,) bool — infeasibility certificate
+    #: Anderson-acceleration state over v = [z; u] (None when
+    #: config.acceleration == 0) — see ops/anderson.py.
+    aa: "Optional[anderson.AAState]" = None
 
 
 def _prep(Q, p, A, b, lb, ub, config):
@@ -334,6 +338,8 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         x, _ = lin.kkt_apply(st_factors, r, bs)
         return x
 
+    m_aa = int(config.acceleration)
+
     zeros = jnp.zeros((B, n_pad), dtype)
     if warm_start is not None:
         # Map the previous (unscaled) iterates into the current scaling.
@@ -362,6 +368,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         # input; with traced arrays we flag it instead).
         pinf=(jnp.any(lbs > ubs, axis=-1)
               if config.detect_infeasibility else jnp.zeros((B,), bool)),
+        aa=anderson.aa_init(B, m_aa, 2 * n_pad, dtype) if m_aa else None,
     )
 
     eps_abs = max(float(config.eps_abs), 1e-12)
@@ -407,7 +414,13 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             return st.rho, st.factors, st.q
 
         rho, f, q = jax.lax.cond(pred, do_update, no_update, None)
-        return st._replace(rho=rho, factors=f, q=q)
+        st = st._replace(rho=rho, factors=f, q=q)
+        if st.aa is not None:
+            # A rho update changes the fixed-point map: force a history
+            # reset for the updated elements.
+            st = st._replace(aa=anderson.aa_reset_where(
+                st.aa, pred & upd_mask))
+        return st
 
     def outer_body(st: _LoopState) -> _LoopState:
         if config.adaptive_rho:
@@ -443,9 +456,36 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
                 u = u + (xh - z)
                 return (x, z, u, z_prev, r)
 
+        def inner_aa(i, s):
+            """ADMM iteration + safeguarded Anderson step on the
+            fixed-point variable v = [z; u] (see ops/anderson.py).
+            Padded coordinates stay exactly 0: every history column is 0
+            there, so any combination is too."""
+            x, z, u, z_prev, _r, aa = s
+            r = -ps_p + st.rho[..., None] * (z - u)
+            x = x_update(st.factors, st.q, r)
+            xh = alpha_t * x + (1.0 - alpha_t) * z if has_alpha else x
+            z_new = jnp.clip(xh + u, lbs_p, ubs_p)
+            u_new = u + (xh - z_new)
+            v = jnp.concatenate([z, u], axis=-1)
+            gv = jnp.concatenate([z_new, u_new], axis=-1)
+            v_next, aa = anderson.aa_step(
+                aa, v, gv, ((st.it + i) % m_aa).astype(jnp.int32),
+                hold=st.is_optimal,
+                safeguard=float(config.aa_safeguard),
+                reg=float(config.aa_reg),
+                max_weight=float(config.aa_max_weight))
+            return (x, v_next[:, :n_pad], v_next[:, n_pad:], z, r, aa)
+
         r0 = -ps_p + st.rho[..., None] * (st.z - st.u)
-        x, z, u, z_prev, last_r = jax.lax.fori_loop(
-            0, n_inner, inner, (st.x, st.z, st.u, st.z, r0))
+        if m_aa:
+            x, z, u, z_prev, last_r, aa = jax.lax.fori_loop(
+                0, n_inner, inner_aa,
+                (st.x, st.z, st.u, st.z, r0, st.aa))
+        else:
+            x, z, u, z_prev, last_r = jax.lax.fori_loop(
+                0, n_inner, inner, (st.x, st.z, st.u, st.z, r0))
+            aa = st.aa
         if use_pallas:
             # last_r is the r for the *next* iteration there; the r that
             # produced the current x is recomputable from (z_prev, u_prev),
@@ -545,7 +585,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             primal_error=primal_error, dual_error=dual_error,
             tolp_norm=tolp_norm, told_norm=told_norm,
             do_rho_update=do_rho_update, is_optimal=is_optimal,
-            u_chk=u_chk, nu_chk=nu_chk, pinf=pinf)
+            u_chk=u_chk, nu_chk=nu_chk, pinf=pinf, aa=aa)
 
     def cond(st: _LoopState):
         return (st.it < max_iters) & ~jnp.all(st.is_optimal | st.pinf)

@@ -38,6 +38,7 @@ from flax import struct as _struct
 from lqp_py_tpu.config import GenQPConfig
 from lqp_py_tpu.models import box_qp_grad as bgrads
 from lqp_py_tpu.models.conic_grad import conic_qp_grads
+from lqp_py_tpu.ops import anderson
 from lqp_py_tpu.ops import linalg as lin
 from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import QPSolution, as_vector, like_layout
@@ -82,6 +83,9 @@ class _GenState(NamedTuple):
     u_chk: jax.Array
     nu_chk: Optional[jax.Array]
     pinf: jax.Array
+    #: Anderson-acceleration state over v = [w; u] (None when
+    #: config.acceleration == 0) — see ops/anderson.py.
+    aa: Optional["anderson.AAState"] = None
 
 
 def _gen_prep_key(config: GenQPConfig):
@@ -240,6 +244,8 @@ def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
     adaptive_interval = max(round(config.adaptive_rho_iter / cs) * cs, 1)
     max_iters = int(config.max_iters)
 
+    m_aa = int(config.acceleration)
+
     zeros_k = jnp.zeros((B, k), dtype)
     if warm_start is not None:
         # Map unscaled (x, slacks, lams) into scaled iterates: x_s = x / D,
@@ -266,6 +272,7 @@ def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
         u_chk=zeros_k,
         nu_chk=None if As is None else jnp.zeros((B, As.shape[-2]), dtype),
         pinf=jnp.zeros((B,), bool),
+        aa=anderson.aa_init(B, m_aa, 2 * k, dtype) if m_aa else None,
     )
 
     def maybe_update_rho(st: _GenState) -> _GenState:
@@ -309,7 +316,13 @@ def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
             return st.rho, st.factors, st.u
 
         rho, f, u = jax.lax.cond(pred, upd, noop, None)
-        return st._replace(rho=rho, factors=f, u=u)
+        st = st._replace(rho=rho, factors=f, u=u)
+        if st.aa is not None:
+            # A rho update changes the fixed-point map (and rescales u):
+            # force a history reset for the updated elements.
+            st = st._replace(aa=anderson.aa_reset_where(
+                st.aa, pred & upd_mask))
+        return st
 
     def body(st: _GenState) -> _GenState:
         if config.adaptive_rho:
@@ -319,21 +332,49 @@ def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
 
         alpha = float(config.alpha)
 
-        def inner(_, s_):
-            x, w, u, nu, w_prev = s_
+        def plain_step(w, u):
+            """One splitting iteration: (w, u) -> (x, nu, w', u')."""
             rhs = -ps + _mtv(Gs, st.rho[..., None] * (hs - w + u))
             x, nu = lin.kkt_apply(st.factors, rhs, bs)
             s = hs - _mv(Gs, x)
             # Over-relaxation on the splitting variable (OSQP-style); the
             # fixed point (s = w) is unchanged.
             sh = alpha * s + (1.0 - alpha) * w if alpha != 1.0 else s
-            w_prev = w
-            w = jnp.maximum(sh + u, 0.0)
-            u = u + (sh - w)
-            return (x, w, u, nu, w_prev)
+            w_new = jnp.maximum(sh + u, 0.0)
+            u_new = u + (sh - w_new)
+            return x, nu, w_new, u_new
 
-        x, w, u, nu, w_prev = jax.lax.fori_loop(
-            0, n_inner, inner, (st.x, st.w, st.u, st.nu, st.w))
+        def inner(_, s_):
+            x, w, u, nu, w_prev = s_
+            x, nu, w_new, u_new = plain_step(w, u)
+            return (x, w_new, u_new, nu, w)
+
+        def inner_aa(i, s_):
+            """Splitting iteration + safeguarded type-II Anderson step on
+            the fixed-point variable v = [w; u] (the SCS
+            acceleration_lookback capability — see ops/anderson.py).
+            Converged elements are held on the plain map (they sit at the
+            fixed point; extrapolation can only perturb them)."""
+            x, w, u, nu, w_prev, aa = s_
+            x, nu, w_new, u_new = plain_step(w, u)
+            v = jnp.concatenate([w, u], axis=-1)
+            gv = jnp.concatenate([w_new, u_new], axis=-1)
+            v_next, aa = anderson.aa_step(
+                aa, v, gv, ((st.it + i) % m_aa).astype(jnp.int32),
+                hold=st.is_optimal,
+                safeguard=float(config.aa_safeguard),
+                reg=float(config.aa_reg),
+                max_weight=float(config.aa_max_weight))
+            return (x, v_next[:, :k], v_next[:, k:], nu, w, aa)
+
+        if m_aa:
+            x, w, u, nu, w_prev, aa = jax.lax.fori_loop(
+                0, n_inner, inner_aa,
+                (st.x, st.w, st.u, st.nu, st.w, st.aa))
+        else:
+            x, w, u, nu, w_prev = jax.lax.fori_loop(
+                0, n_inner, inner, (st.x, st.w, st.u, st.nu, st.w))
+            aa = st.aa
 
         s = hs - _mv(Gs, x)
         # Residuals in unscaled units: constraint-space via EG, x-space
@@ -398,7 +439,7 @@ def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
                            tolp_norm=tolp_norm, told_norm=told_norm,
                            do_rho_update=do_rho_update,
                            is_optimal=is_optimal,
-                           u_chk=u_chk, nu_chk=nu_chk, pinf=pinf)
+                           u_chk=u_chk, nu_chk=nu_chk, pinf=pinf, aa=aa)
 
     def cond(st: _GenState):
         return (st.it < max_iters) & ~jnp.all(st.is_optimal | st.pinf)

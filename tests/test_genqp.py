@@ -243,3 +243,53 @@ def test_genqp_warm_start_cuts_iterations():
                                rtol=1e-4, atol=1e-5)
     assert int(warm.iterations) < int(cold.iterations), (
         int(warm.iterations), int(cold.iterations))
+
+
+def test_genqp_anderson_acceleration_hard_set():
+    """Safeguarded AA (the SCS acceleration_lookback capability): on the
+    ill-conditioned hard set it must converge in strictly fewer iterations
+    than the plain splitting, to the same solution (within tolerance
+    scale), in BOTH f64 and f32 — the f32 case pins the safeguard (a
+    consecutive-growth monitor diverged: 201 -> 20000 iterations)."""
+    from lqp_py_tpu.utils.generators import generate_hard_qp
+
+    n, B = 50, 8
+    Q, p, A, b, lb, ub = [jnp.asarray(v) for v in
+                          generate_hard_qp(n, B, seed=0,
+                                           dtype=jnp.float64)[:6]]
+    for dtype in (jnp.float64, jnp.float32):
+        Qd, pd, Ad, bd, lbd, ubd = [v.astype(dtype)
+                                    for v in (Q, p, A, b, lb, ub)]
+        G = jnp.concatenate([-jnp.eye(n, dtype=dtype),
+                             jnp.eye(n, dtype=dtype)])[None].repeat(B, 0)
+        h = jnp.concatenate([-lbd, ubd], axis=1)
+        cfg0 = GenQPConfig(eps_abs=1e-5, eps_rel=1e-5)
+        plain = solve_qp_gen(Qd, pd, Ad, bd, G, h, cfg0)
+        accel = solve_qp_gen(Qd, pd, Ad, bd, G, h,
+                             GenQPConfig(eps_abs=1e-5, eps_rel=1e-5,
+                                         acceleration=10))
+        assert bool(plain.converged.all()) and bool(accel.converged.all())
+        assert int(accel.iterations) < int(plain.iterations), dtype
+        assert float(jnp.max(jnp.abs(accel.x - plain.x))) < 5e-3, dtype
+
+
+def test_genqp_acceleration_neutral_when_converged_fast():
+    """AA must not perturb problems the plain splitting already solves
+    quickly (converged elements are held on the plain map)."""
+    data, G, h = _data_Gh(24, 4, seed=3)
+    plain = solve_qp_gen(data.Q, data.p, data.A, data.b, G, h,
+                         config=_cfg())
+    accel = solve_qp_gen(data.Q, data.p, data.A, data.b, G, h,
+                         config=_cfg(acceleration=10))
+    assert bool(accel.converged.all())
+    np.testing.assert_allclose(np.asarray(accel.x), np.asarray(plain.x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scs_control_acceleration_lookback_maps():
+    from lqp_py_tpu import scs_control
+
+    cfg = scs_control(acceleration_lookback=7)
+    assert cfg.acceleration == 7
+    # SCS uses negative lookback for type-I AA; magnitude maps.
+    assert scs_control(acceleration_lookback=-5).acceleration == 5
