@@ -123,6 +123,11 @@ class BoxQPConfig:
             raise ValueError(
                 "acceleration requires use_pallas_step=False (the fused "
                 "kernel's in-VMEM iteration cannot carry the AA history)")
+        if self.acceleration and self.unroll:
+            raise ValueError(
+                "acceleration is not implemented for the unrolled "
+                "(differentiate-through-iterations) path; use the implicit "
+                "backward modes with acceleration, or unroll without it")
 
     def resolved_check_interval(self, n_x: int) -> int:
         cs = self.check_solved

@@ -153,3 +153,12 @@ def test_box_anderson_acceleration_hard_set():
 
     with _pytest.raises(ValueError, match="use_pallas_step"):
         box_qp_control(acceleration=10, use_pallas_step=True)
+
+
+def test_acceleration_unroll_rejected():
+    import pytest as _pytest
+
+    from lqp_py_tpu import box_qp_control
+
+    with _pytest.raises(ValueError, match="unroll"):
+        box_qp_control(acceleration=10, unroll=True)
