@@ -203,3 +203,28 @@ def test_tp_accepts_column_vector_layout():
                           data.ub[..., None], config=cfg)
     np.testing.assert_allclose(np.asarray(col.x), np.asarray(ref.x),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_anderson_sharded_equivalence():
+    """The AA update (ring buffers, per-element normal equations, batched
+    m x m solve) is pure batch math — sharding the batch axis must not
+    change a single bit of the accelerated trajectory."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lqp_py_tpu import BoxQPConfig
+    from lqp_py_tpu.utils.generators import generate_hard_qp
+
+    data = [jnp.asarray(v) for v in
+            generate_hard_qp(24, 8, seed=4, dtype=jnp.float64)[:6]]
+    mesh = make_mesh((8,), ("dp",))
+
+    def shard(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, P("dp", *([None] * (x.ndim - 1)))))
+
+    cfg = BoxQPConfig(eps_abs=1e-7, eps_rel=1e-7, acceleration=8)
+    ref = solve_box_qp(*data, config=cfg)
+    sh = jax.jit(lambda *a: solve_box_qp(*a, config=cfg))(
+        *[shard(v) for v in data])
+    assert int(sh.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
