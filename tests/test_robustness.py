@@ -149,10 +149,14 @@ def test_fuzz_random_shapes_and_bound_patterns():
                       jnp.full_like(ub, jnp.inf))
         use_eq = bool(rng.integers(0, 2))
         Aa, ba = (A, b) if use_eq else (None, None)
+        # Half the draws run Anderson-accelerated — the accelerated path
+        # must satisfy the same tight-tolerance oracle as the plain one.
+        accel = int(rng.integers(0, 2)) * 8
         from lqp_py_tpu import BoxQPConfig
         sol = solve_box_qp(Q, p, Aa, ba, lb, ub,
-                           config=BoxQPConfig(eps_abs=1e-9, eps_rel=1e-9))
-        assert bool(jnp.all(sol.converged)), (n, B, seed, hard, mode)
+                           config=BoxQPConfig(eps_abs=1e-9, eps_rel=1e-9,
+                                              acceleration=accel))
+        assert bool(jnp.all(sol.converged)), (n, B, seed, hard, mode, accel)
         ref = solve_box_qp_np(
             np.asarray(Q[0]), np.asarray(p[0]),
             None if Aa is None else np.asarray(A[0]),
