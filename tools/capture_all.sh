@@ -18,4 +18,5 @@ run 1800 /tmp/cap_exp2.log       python experiments/experiment_2.py
 run 3600 /tmp/cap_ipacc.log      python experiments/experiment_ip_accuracy.py --sizes 500 1000
 run 1800 /tmp/cap_serving.log    python experiments/experiment_serving.py
 run 1800 /tmp/cap_hard.log       python experiments/experiment_1_hard.py
+run 1800 /tmp/cap_aa.log         python experiments/experiment_aa.py
 echo "ALL CAPTURES DONE"
