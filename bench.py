@@ -160,6 +160,31 @@ def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
     }
 
 
+def _probe_device(timeout_s=300):
+    """Fail fast if the remote TPU tunnel is unresponsive.
+
+    The axon tunnel occasionally dies in a mode where any device call
+    hangs indefinitely (no error, no timeout).  Run a trivial matmul in a
+    subprocess under a hard timeout so the benchmark aborts with a clear
+    message instead of hanging for hours.  Skipped on CPU (tests)."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((128,128))@jnp.ones((128,128)))[0,0]))")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] FATAL: device probe (128x128 matmul) did not "
+              f"complete within {timeout_s}s — TPU tunnel unresponsive. "
+              f"Not benchmarking against a dead device.", file=sys.stderr)
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        print(f"[bench] FATAL: device probe failed (exit {e.returncode}).",
+              file=sys.stderr)
+        sys.exit(2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*", default=[1000])
@@ -174,6 +199,8 @@ def main():
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     device = jax.devices()[0]
+    if device.platform != "cpu":
+        _probe_device()
     detail = {"device": str(device), "platform": device.platform,
               "results": []}
     for n_x in args.sizes:
