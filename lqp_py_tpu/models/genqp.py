@@ -37,6 +37,7 @@ from flax import struct as _struct
 
 from lqp_py_tpu.config import GenQPConfig
 from lqp_py_tpu.models import box_qp_grad as bgrads
+from lqp_py_tpu.models._stateful import StatefulQP
 from lqp_py_tpu.models.conic_grad import conic_qp_grads
 from lqp_py_tpu.ops import anderson
 from lqp_py_tpu.ops import linalg as lin
@@ -537,7 +538,7 @@ class GenQPLayer:
         return qp_gen(Q, p, A, b, G, h, config=self.config)
 
 
-class GenQP:
+class GenQP(StatefulQP):
     """Stateful solve/update wrapper for the general-inequality solver —
     the ``BoxQP`` workflow (solve/update/re-solve with cached preparation
     and optional warm starting) extended to ``Gx <= h`` problems.
@@ -548,44 +549,21 @@ class GenQP:
     ``warm_start=True`` reuses the previous solution as the starting
     iterate."""
 
+    _extra_fields = ("G", "h")
+
     def __init__(self, Q, p, A=None, b=None, G=None, h=None,
                  control: GenQPConfig = GenQPConfig(),
                  warm_start: bool = False):
-        self.Q, self.p, self.A, self.b = Q, p, A, b
-        self.G, self.h = G, h
-        self.control = control
-        self.warm_start = warm_start
-        self.sol = None
-        self._prep = None
+        self._init(Q, p, A, b, G, h, control, warm_start)
 
-    def solve(self):
-        ws = self.sol if self.warm_start else None
-        if self._prep is None:
-            self._prep = prepare_qp_gen(self.Q, self.A, self.b,
-                                        self.G, self.h,
-                                        config=self.control)
-        self.sol = solve_qp_gen_prepared(self._prep, self.p,
-                                         config=self.control,
-                                         warm_start=ws)
-        return like_layout(self.sol.x, self.p)
+    def _prepare(self):
+        return prepare_qp_gen(self.Q, self.A, self.b, self.G, self.h,
+                              config=self.control)
+
+    def _solve_prepared(self, prep, p, warm_start):
+        return solve_qp_gen_prepared(prep, p, config=self.control,
+                                     warm_start=warm_start)
 
     def update(self, Q=None, p=None, A=None, b=None, G=None, h=None,
                control=None):
-        if Q is not None:
-            self.Q = Q
-        if p is not None:
-            self.p = p
-        if A is not None:
-            self.A = A
-        if b is not None:
-            self.b = b
-        if G is not None:
-            self.G = G
-        if h is not None:
-            self.h = h
-        if control is not None:
-            self.control = control
-        # p-only updates keep the cached factorization.
-        if any(v is not None for v in (Q, A, b, G, h)) or \
-                control is not None:
-            self._prep = None
+        self._update(Q, p, A, b, G, h, control)

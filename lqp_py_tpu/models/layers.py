@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from lqp_py_tpu.config import BoxQPConfig
 from lqp_py_tpu.models import box_qp_grad as grads
+from lqp_py_tpu.models._stateful import StatefulQP
 from lqp_py_tpu.models.box_qp import solve_box_qp, solve_box_qp_unrolled
 from lqp_py_tpu.ops.precision import solver_precision
 from lqp_py_tpu.types import as_vector, like_layout
@@ -102,7 +103,7 @@ class BoxQPLayer:
         return boxqp(Q, p, A, b, lb, ub, config=self.config)
 
 
-class BoxQP:
+class BoxQP(StatefulQP):
     """Stateful solve/update wrapper (``BoxQPTH`` analogue,
     solve_box_qp_admm_torch.py:70-105).
 
@@ -113,46 +114,23 @@ class BoxQP:
     ``update()`` touches something other than ``p`` (the serving pattern:
     repeated solves with a drifting cost vector skip the prep entirely)."""
 
+    _extra_fields = ("lb", "ub")
+
     def __init__(self, Q, p, A=None, b=None, lb=None, ub=None,
                  control: BoxQPConfig = BoxQPConfig(),
                  warm_start: bool = False):
-        self.Q, self.p, self.A, self.b = Q, p, A, b
-        self.lb, self.ub = lb, ub
-        self.control = control
-        self.warm_start = warm_start
-        self.sol = None
-        self._prep = None
+        self._init(Q, p, A, b, lb, ub, control, warm_start)
 
-    def solve(self):
-        from lqp_py_tpu.models.box_qp import (prepare_box_qp,
-                                              solve_box_qp_prepared)
-        ws = self.sol if self.warm_start else None
-        if self._prep is None:
-            self._prep = prepare_box_qp(self.Q, self.A, self.b,
-                                        self.lb, self.ub,
-                                        config=self.control)
-        self.sol = solve_box_qp_prepared(self._prep, self.p,
-                                         config=self.control,
-                                         warm_start=ws)
-        return like_layout(self.sol.x, self.p)
+    def _prepare(self):
+        from lqp_py_tpu.models.box_qp import prepare_box_qp
+        return prepare_box_qp(self.Q, self.A, self.b, self.lb, self.ub,
+                              config=self.control)
+
+    def _solve_prepared(self, prep, p, warm_start):
+        from lqp_py_tpu.models.box_qp import solve_box_qp_prepared
+        return solve_box_qp_prepared(prep, p, config=self.control,
+                                     warm_start=warm_start)
 
     def update(self, Q=None, p=None, A=None, b=None, lb=None, ub=None,
                control=None):
-        if Q is not None:
-            self.Q = Q
-        if p is not None:
-            self.p = p
-        if A is not None:
-            self.A = A
-        if b is not None:
-            self.b = b
-        if lb is not None:
-            self.lb = lb
-        if ub is not None:
-            self.ub = ub
-        if control is not None:
-            self.control = control
-        # p-only updates keep the cached factorization.
-        if any(v is not None for v in (Q, A, b, lb, ub)) or \
-                control is not None:
-            self._prep = None
+        self._update(Q, p, A, b, lb, ub, control)

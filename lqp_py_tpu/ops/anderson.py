@@ -91,7 +91,13 @@ def aa_step(state: AAState, v, gv, slot, hold, *,
     M = jnp.einsum("...ad,...bd->...ab", Rn, Rn,
                    preferred_element_type=dtype)
     tr = jnp.trace(M, axis1=-2, axis2=-1)
-    M = M + (reg * tr / m + _TINY)[..., None, None] * jnp.eye(m, dtype=dtype)
+    # Unit-normalized columns put diag(M) at 1.0, so a regularizer below
+    # machine eps rounds away entirely (f32: 1.0 + 1e-8 == 1.0) and M is
+    # solved unregularized exactly when the residual columns go collinear
+    # near convergence.  Floor it at a few ulps of the unit diagonal.
+    reg_eff = max(float(reg), 16 * float(jnp.finfo(dtype).eps))
+    M = M + (reg_eff * tr / m
+             + _TINY)[..., None, None] * jnp.eye(m, dtype=dtype)
     y = jnp.linalg.solve(M, cinv[..., None])[..., 0]
     w = y * cinv
     w = w / jnp.sum(w, axis=-1, keepdims=True)

@@ -61,7 +61,7 @@ def shard_problem_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
 
 
 def _solve_tp(mesh, solver, args6, batch_axis, model_axis,
-              lower_only=False):
+              lower_only=False, mat_idx=(0, 2)):
     """Shared tp driver: every solver here takes six operands whose matrix
     entries (Q, A, G) get their column (n) axis over ``model_axis`` and
     whose vector entries replicate over it.  The solve is traced under
@@ -70,20 +70,27 @@ def _solve_tp(mesh, solver, args6, batch_axis, model_axis,
     both interior points — stays partitionable.  ``solver`` is a closure
     over its config taking the six placed args.
 
+    ``mat_idx`` lists the argument positions that hold matrices ((0, 2)
+    for the box solvers' Q/A, (0, 2, 4) when slot 4 carries G).  Matrix
+    slots are identified positionally, NOT by shape: a (B, k, 1) array is
+    a genuine matrix when n_x == 1 but the (B, n, 1) column-vector layout
+    everywhere else, so a shape heuristic would squeeze real operators.
     Vectors in the documented ``(B, n, 1)`` layout are canonicalized to
-    ``(B, n)`` before placement — classifying them by ndim alone would
-    shard their size-1 trailing axis over ``model_axis`` and fail."""
+    ``(B, n)`` before placement — sharding their size-1 trailing axis
+    over ``model_axis`` would fail."""
     mat, vec = _shardings(mesh, batch_axis, model_axis)
 
-    def place(x):
+    def place(i, x):
         if x is None:
             return None
         x = jnp.asarray(x)
+        if i in mat_idx:
+            return jax.device_put(x, mat(x))
         if x.ndim == 3 and x.shape[-1] == 1:   # (B, n, 1) vector layout
             x = x[..., 0]
-        return jax.device_put(x, mat(x) if x.ndim == 3 else vec(x))
+        return jax.device_put(x, vec(x))
 
-    placed = tuple(place(x) for x in args6)
+    placed = tuple(place(i, x) for i, x in enumerate(args6))
     with lax_linalg_only():
         fn = jax.jit(solver)
         if lower_only:
@@ -114,7 +121,8 @@ def solve_qp_gen_tp(mesh: Mesh, Q, p, A=None, b=None, G=None, h=None,
     are the shared ``spd_*_fast`` shapes)."""
     return _solve_tp(mesh,
                      lambda *a: solve_qp_gen(*a, config=config),
-                     (Q, p, A, b, G, h), batch_axis, model_axis)
+                     (Q, p, A, b, G, h), batch_axis, model_axis,
+                     mat_idx=(0, 2, 4))
 
 
 def solve_qp_optnet_tp(mesh: Mesh, Q, p, A=None, b=None, G=None, h=None,
@@ -125,7 +133,8 @@ def solve_qp_optnet_tp(mesh: Mesh, Q, p, A=None, b=None, G=None, h=None,
     as the ADMM KKT operator)."""
     return _solve_tp(mesh,
                      lambda *a: solve_qp_optnet(*a, config=config),
-                     (Q, p, A, b, G, h), batch_axis, model_axis)
+                     (Q, p, A, b, G, h), batch_axis, model_axis,
+                     mat_idx=(0, 2, 4))
 
 
 def solve_box_qp_ip_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
@@ -158,6 +167,7 @@ def lowered_tp_memory(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
     (operands Q,p,A,b,G,h), 'box_ip' (box operands)."""
     fn, default_cfg = _TP_SOLVERS[solver]
     cfg = default_cfg() if config is None else config
+    mat_idx = (0, 2, 4) if solver in ("genqp", "optnet") else (0, 2)
     return _solve_tp(mesh, lambda *a: fn(*a, config=cfg),
                      (Q, p, A, b, lb, ub), batch_axis, model_axis,
-                     lower_only=True)
+                     lower_only=True, mat_idx=mat_idx)

@@ -83,9 +83,26 @@ def checkpointed_run(run, state: TrainState, sel, *data,
     after each chunk (``every=0`` → single chunk, no checkpoints unless
     ``root`` is set, in which case the final state is written).  Returns
     the final TrainState.  To resume after an interruption, restore the
-    latest checkpoint and call again with the remaining epochs' ``sel``.
+    latest checkpoint and call again with the SAME full-run ``sel`` —
+    ``state.epoch`` records how many epochs are done and the loop skips
+    them by index, so passing only the remaining rows would silently
+    train the wrong epochs.
     """
     n_epochs = sel.shape[0]
+    if n_epochs > state.losses.shape[0]:
+        raise ValueError(
+            f"sel has {n_epochs} epochs but state.losses only holds "
+            f"{state.losses.shape[0]}.")
+    if int(state.epoch) > 0 and n_epochs != state.losses.shape[0]:
+        # Epoch indices are global: a resumed call must see the SAME
+        # full-run sel (rows already done are skipped via state.epoch).
+        # Passing only the remaining rows would silently train the wrong
+        # epochs and clamp loss writes into wrong slots.
+        raise ValueError(
+            f"resuming at epoch {int(state.epoch)} with a {n_epochs}-row "
+            f"sel, but state.losses was sized for "
+            f"{state.losses.shape[0]} epochs: pass the FULL run's sel, "
+            f"not the remaining rows.")
     chunk = every if every > 0 else n_epochs
     done = int(state.epoch)
     for start in range(done, n_epochs, chunk):

@@ -150,6 +150,15 @@ def test_box_anderson_acceleration_hard_set():
         assert bool(plain.converged.all()) and bool(accel.converged.all())
         assert int(accel.iterations) < int(plain.iterations), dtype
         assert float(jnp.max(jnp.abs(accel.x - plain.x))) < 1e-2, dtype
+        # z is the solution's feasible iterate: the Anderson combination
+        # can leave the box (negative weights) by O(tolerance), so
+        # extraction must project it back.  Exactness is up to the
+        # unscaling rounding (z = D * clip(z_s, lb/D, ub/D) — a couple of
+        # ulps, same as the plain path), not the AA error.
+        z = jnp.asarray(accel.z)
+        tiny = 8 * jnp.finfo(dtype).eps
+        viol = jnp.maximum(jnp.maximum(args[4] - z, z - args[5]), 0.0)
+        assert float(jnp.max(viol)) <= tiny, dtype
 
     with _pytest.raises(ValueError, match="use_pallas_step"):
         box_qp_control(acceleration=10, use_pallas_step=True)

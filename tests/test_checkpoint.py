@@ -107,3 +107,14 @@ def test_restore_sharded_template(tmp_path, workload, mesh8):
     assert restored.params.W.sharding.spec == P(None, "tp")
     np.testing.assert_array_equal(np.asarray(restored.params.W),
                                   np.asarray(state.params.W))
+
+
+def test_resume_with_partial_sel_rejected(workload):
+    """Epoch indices are global: resuming with only the remaining sel rows
+    would silently train the wrong epochs (round-3 review).  A resumed
+    state must be called with the full-run sel."""
+    run, params, sel, data = workload
+    state = init_train_state(params, EPOCHS, jnp.float64)
+    state = state._replace(epoch=jnp.asarray(4, jnp.int32))
+    with pytest.raises(ValueError, match="FULL run's sel"):
+        checkpointed_run(run, state, sel[4:], *data)

@@ -228,3 +228,20 @@ def test_anderson_sharded_equivalence():
     assert int(sh.iterations) == int(ref.iterations)
     np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_tp_nx1_matrices_not_squeezed():
+    """n_x == 1 makes every matrix operand (B, k, 1) — identical in shape
+    to the column-vector layout.  Matrix slots are positional, so the
+    operators must NOT be squeezed to 2-D (round-3 review regression:
+    the old shape heuristic crashed the tp path for n_x = 1)."""
+    from lqp_py_tpu.parallel.tp import solve_box_qp_tp
+
+    data = create_qp_data(1, 4, seed=13, dtype=jnp.float64)
+    cfg = BoxQPConfig(eps_abs=1e-9, eps_rel=1e-9)
+    ref = solve_box_qp(*data, config=cfg)
+    mesh = make_mesh((4, 1), ("dp", "tp"))  # tp=1: size-1 column axis
+    sol = solve_box_qp_tp(mesh, *data, config=cfg)
+    assert bool(jnp.all(sol.converged))
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)

@@ -19,4 +19,6 @@ run 3600 /tmp/cap_ipacc.log      python experiments/experiment_ip_accuracy.py --
 run 1800 /tmp/cap_serving.log    python experiments/experiment_serving.py
 run 1800 /tmp/cap_hard.log       python experiments/experiment_1_hard.py
 run 1800 /tmp/cap_aa.log         python experiments/experiment_aa.py
+python experiments/render_readme.py > /tmp/cap_render.log 2>&1
+echo "=== render exit=$?"
 echo "ALL CAPTURES DONE"
