@@ -253,6 +253,35 @@ def render():
                 f"run\nto tolerance scale (`exp_aa_results.json`).")
             out.append("")
 
+    ipacc = _load("ip_accuracy_results.json")
+    if ipacc and ipacc.get("cells"):
+        mx_n = max(c["n_x"] for c in ipacc["cells"])
+        cells = {(c["solver"], c["refine_steps"], bool(c["polish"])): c
+                 for c in ipacc["cells"] if c["n_x"] == mx_n}
+        out.append(
+            f"Interior-point accuracy/time tradeoff at dz={mx_n} "
+            f"(max |x − x_tight| vs a\ntight eps=1e-6 ADMM solve; "
+            f"`ip_accuracy_results.json`):")
+        out.append("")
+        out.append("| refine_steps | polish | OptNet IP dev | fwd | "
+                   "Box IP dev | fwd |")
+        out.append("|---|---|---|---|---|---|")
+        for refine in (0, 1, 2):
+            for polish in (False, True):
+                o = cells.get(("OptNet_IP", refine, polish))
+                bx = cells.get(("BoxIP", refine, polish))
+                if not (o or bx):
+                    continue
+                row = f"| {refine} | {'on' if polish else 'off'} |"
+                for c in (o, bx):
+                    if c:
+                        row += (f" {c['max_dev_x_vs_tight']:.1e} | "
+                                f"{_fmt(c['fwd_s'])} s |")
+                    else:
+                        row += " — | — |"
+                out.append(row)
+        out.append("")
+
     if bench:
         r = {x["n_x"]: x for x in bench["results"]}
         if r:
