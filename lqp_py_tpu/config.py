@@ -28,6 +28,17 @@ def _check_interval_default(n_x: int) -> int:
     return max(min(round(math.sqrt(n_x) / 10) * 10, 10), 1)
 
 
+def _check_acceleration(m: int) -> None:
+    # SCS selects type-I AA with a NEGATIVE acceleration_lookback; only
+    # type-II is implemented here, so reject the sign at construction
+    # instead of tracing jnp.zeros((B, -m, ...)) into an opaque shape error.
+    if m < 0:
+        raise ValueError(
+            f"acceleration must be >= 0 (type-II AA window size), got {m}; "
+            f"SCS's negative acceleration_lookback selects type-I AA, which "
+            f"is not implemented — pass the window size itself")
+
+
 @dataclasses.dataclass(frozen=True)
 class BoxQPConfig:
     """Configuration for the batched box-QP ADMM solver.
@@ -128,6 +139,7 @@ class BoxQPConfig:
                 "acceleration is not implemented for the unrolled "
                 "(differentiate-through-iterations) path; use the implicit "
                 "backward modes with acceleration, or unroll without it")
+        _check_acceleration(self.acceleration)
 
     def resolved_check_interval(self, n_x: int) -> int:
         cs = self.check_solved
@@ -251,6 +263,9 @@ class GenQPConfig:
     #: combination weights' 1-norm exceeds this — extrapolations that
     #: aggressive amplify roundoff faster than they converge.
     aa_max_weight: float = 1e3
+
+    def __post_init__(self):
+        _check_acceleration(self.acceleration)
 
 
 def box_qp_control(**kwargs) -> BoxQPConfig:

@@ -649,6 +649,13 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
     Returns ``x`` only (matching the reference, which returns the bare
     tensor in unroll mode, solve_box_qp_admm_torch.py:328-330).
     """
+    if config.acceleration:
+        # __post_init__ only rejects the acceleration+unroll FLAG combo;
+        # this entry point can be called directly with unroll=False and
+        # would otherwise silently run unaccelerated.
+        raise ValueError(
+            "acceleration is not implemented for the unrolled solver; "
+            "use solve_box_qp (the while_loop path) or acceleration=0")
     sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config)
     Qs, ps, As, bs, lbs, ubs, D, E = sp
 

@@ -90,7 +90,8 @@ def make_train_scan(config: BoxQPConfig, lr: float = 5e-4):
         data = (features, Q, p_true, A, b, lb, ub)
 
         def body(params, idx):
-            mb = tuple(jnp.take(v, idx, axis=0) for v in data)
+            mb = tuple(None if v is None else jnp.take(v, idx, axis=0)
+                       for v in data)
             return step(params, *mb)
 
         return jax.lax.scan(body, params, sel)

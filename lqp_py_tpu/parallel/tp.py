@@ -148,26 +148,40 @@ def solve_box_qp_ip_tp(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
                      (Q, p, A, b, lb, ub), batch_axis, model_axis)
 
 
+# solver name -> (solve fn, default config, matrix operand slots, operand
+# names).  mat_idx lives here — the single source of which slots carry
+# column-shardable operators — so memory analysis and a future entry point
+# cannot drift from the solver's own wrapper above.
 _TP_SOLVERS = {
-    "box": (solve_box_qp, BoxQPConfig),
-    "genqp": (solve_qp_gen, GenQPConfig),
-    "optnet": (solve_qp_optnet, OptNetConfig),
-    "box_ip": (solve_box_qp_ip, OptNetConfig),
+    "box": (solve_box_qp, BoxQPConfig, (0, 2),
+            ("Q", "p", "A", "b", "lb", "ub")),
+    "genqp": (solve_qp_gen, GenQPConfig, (0, 2, 4),
+              ("Q", "p", "A", "b", "G", "h")),
+    "optnet": (solve_qp_optnet, OptNetConfig, (0, 2, 4),
+               ("Q", "p", "A", "b", "G", "h")),
+    "box_ip": (solve_box_qp_ip, OptNetConfig, (0, 2),
+               ("Q", "p", "A", "b", "lb", "ub")),
 }
 
 
-def lowered_tp_memory(mesh: Mesh, Q, p, A=None, b=None, lb=None, ub=None,
-                      config=None, solver: str = "box",
+def lowered_tp_memory(mesh: Mesh, *operands, config=None,
+                      solver: str = "box",
                       batch_axis: str = "dp", model_axis: str = "tp"):
     """Compile a tp-sharded solve and return XLA's per-device memory
     analysis (argument/output/temp bytes).  Used by tests and the scaling
     experiment to prove the factorization is genuinely partitioned.
 
-    ``solver``: 'box' (operands Q,p,A,b,lb,ub), 'genqp' or 'optnet'
-    (operands Q,p,A,b,G,h), 'box_ip' (box operands)."""
-    fn, default_cfg = _TP_SOLVERS[solver]
+    ``operands`` are positional in the target solver's own order —
+    'box'/'box_ip': (Q, p, A, b, lb, ub); 'genqp'/'optnet':
+    (Q, p, A, b, G, h) — so a G matrix is never smuggled through a
+    parameter named ``lb``.  Trailing ``None`` operands may be omitted."""
+    fn, default_cfg, mat_idx, names = _TP_SOLVERS[solver]
+    if len(operands) > len(names):
+        raise TypeError(
+            f"solver '{solver}' takes operands {names}, got "
+            f"{len(operands)} positional arguments")
+    operands = operands + (None,) * (len(names) - len(operands))
     cfg = default_cfg() if config is None else config
-    mat_idx = (0, 2, 4) if solver in ("genqp", "optnet") else (0, 2)
     return _solve_tp(mesh, lambda *a: fn(*a, config=cfg),
-                     (Q, p, A, b, lb, ub), batch_axis, model_axis,
+                     operands, batch_axis, model_axis,
                      lower_only=True, mat_idx=mat_idx)

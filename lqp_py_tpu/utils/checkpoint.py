@@ -37,14 +37,17 @@ def init_train_state(params, n_epochs: int, dtype=jnp.float32) -> TrainState:
                       losses=jnp.full((n_epochs,), jnp.nan, dtype))
 
 
-def save_train_state(path, state: TrainState) -> None:
-    """Write ``state`` under ``path`` (created; must not already hold a
-    checkpoint).  Blocking — returns once the checkpoint is durable."""
+def save_train_state(path, state: TrainState, *, overwrite: bool = False
+                     ) -> None:
+    """Write ``state`` under ``path``.  Blocking — returns once the
+    checkpoint is durable.  ``overwrite=False`` raises if ``path`` already
+    holds a checkpoint; ``overwrite=True`` replaces it (atomically, via
+    orbax's tmp-dir + rename protocol)."""
     path = pathlib.Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         # NamedTuples round-trip as dicts through orbax; save the dict
         # form explicitly so the on-disk layout is stable.
-        ckptr.save(path, state._asdict())
+        ckptr.save(path, state._asdict(), force=overwrite)
 
 
 def restore_train_state(path, template: TrainState) -> TrainState:
@@ -115,5 +118,10 @@ def checkpointed_run(run, state: TrainState, sel, *data,
                 state.losses, losses.astype(state.losses.dtype), (start,)),
         )
         if root is not None:
-            save_train_state(pathlib.Path(root) / f"step_{stop}", state)
+            # Overwrite: a run retried from scratch (or from an earlier
+            # checkpoint) legitimately re-saves step directories a previous
+            # attempt left behind; without it the retry trains a full chunk
+            # and then dies on orbax's 'checkpoint already exists'.
+            save_train_state(pathlib.Path(root) / f"step_{stop}", state,
+                             overwrite=True)
     return state

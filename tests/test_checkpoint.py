@@ -118,3 +118,21 @@ def test_resume_with_partial_sel_rejected(workload):
     state = state._replace(epoch=jnp.asarray(4, jnp.int32))
     with pytest.raises(ValueError, match="FULL run's sel"):
         checkpointed_run(run, state, sel[4:], *data)
+
+
+def test_rerun_over_existing_root_overwrites(tmp_path, workload):
+    """A run retried from scratch with the same checkpoint root must
+    overwrite the stale step_* directories instead of crashing after a
+    full chunk of training (orbax 'checkpoint already exists')."""
+    run, params, sel, data = workload
+    root = tmp_path / "root"
+    s1 = checkpointed_run(run, init_train_state(params, EPOCHS, jnp.float64),
+                          sel, *data, root=root, every=3)
+    s2 = checkpointed_run(run, init_train_state(params, EPOCHS, jnp.float64),
+                          sel, *data, root=root, every=3)
+    np.testing.assert_array_equal(np.asarray(s1.losses),
+                                  np.asarray(s2.losses))
+    # The low-level writer still refuses to clobber unless told to.
+    with pytest.raises(Exception):
+        save_train_state(root / f"step_{EPOCHS}", s2)
+    save_train_state(root / f"step_{EPOCHS}", s2, overwrite=True)

@@ -334,3 +334,69 @@ def test_stateful_genqp_solve_update_resolve():
     # stopping tolerance; measured deviation ~9e-8 at eps 1e-8.
     np.testing.assert_allclose(np.asarray(x3), np.asarray(ref3.x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_train_scan_box_only():
+    """make_train_scan must accept A=None/b=None (equality-free box QP),
+    like make_train_step does — the scan's minibatch gather has to skip
+    None operands instead of calling jnp.take on them."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lqp_py_tpu import BoxQPConfig
+    from lqp_py_tpu.models.train import (init_params, make_train_scan,
+                                         make_train_step)
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    n_x, n_feat, B, mb, epochs = 16, 3, 12, 6, 3
+    data = create_qp_data(n_x, B, seed=9, dtype=jnp.float64)
+    key = jax.random.PRNGKey(7)
+    kf, kb, kp = jax.random.split(key, 3)
+    features = jax.random.normal(kf, (B, n_feat), jnp.float64)
+    p_true = features @ jax.random.normal(kb, (n_feat, n_x), jnp.float64)
+    full = (features, data.Q, p_true, None, None, data.lb, data.ub)
+
+    rng = np.random.RandomState(2)
+    sel = jnp.asarray(np.stack([
+        rng.choice(B, mb, replace=False) for _ in range(epochs)
+    ]).astype(np.int32))
+    cfg = BoxQPConfig(eps_abs=1e-8, eps_rel=1e-8)
+    params0 = init_params(kp, n_feat, n_x, jnp.float64)
+
+    step = jax.jit(make_train_step(cfg, lr=1e-3))
+    params_loop = params0
+    losses_loop = []
+    for e in range(epochs):
+        mbd = tuple(None if v is None else v[sel[e]] for v in full)
+        params_loop, loss = step(params_loop, *mbd)
+        losses_loop.append(float(loss))
+
+    run = jax.jit(make_train_scan(cfg, lr=1e-3))
+    params_fused, losses_fused = run(params0, sel, *full)
+    np.testing.assert_allclose(np.asarray(losses_fused), losses_loop,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_unrolled_rejects_acceleration():
+    """solve_box_qp_unrolled called directly (unroll flag unset) must
+    refuse acceleration rather than silently running unaccelerated."""
+    import jax.numpy as jnp
+    import pytest
+    from lqp_py_tpu import BoxQPConfig
+    from lqp_py_tpu.models.box_qp import solve_box_qp_unrolled
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    data = create_qp_data(8, 2, seed=0, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="unrolled"):
+        solve_box_qp_unrolled(*data, config=BoxQPConfig(acceleration=5))
+
+
+def test_negative_acceleration_rejected_at_construction():
+    """SCS's negative acceleration_lookback (type-I AA) must fail with a
+    clear ValueError at config construction, not a shape error mid-trace."""
+    import pytest
+    from lqp_py_tpu import BoxQPConfig, GenQPConfig
+
+    for ctor in (BoxQPConfig, GenQPConfig):
+        with pytest.raises(ValueError, match="type-I"):
+            ctor(acceleration=-5)

@@ -29,10 +29,26 @@ def test_guide_has_snippets():
     assert len(BLOCKS) >= 10
 
 
+@pytest.fixture(scope="module")
+def block_outcomes():
+    # Blocks share one namespace and run sequentially in document order —
+    # matching how a reader would paste them into one session — inside
+    # this fixture, so running a single parametrized case (-k), a reordering
+    # plugin, or xdist cannot execute a later block without its
+    # predecessors' imports/variables.
+    ns, outcomes = {}, []
+    for idx, code in enumerate(BLOCKS):
+        try:
+            exec(compile(code, f"MIGRATION.md[block {idx}]", "exec"), ns)
+            outcomes.append(None)
+        except Exception as e:          # noqa: BLE001 — reported per block
+            outcomes.append(e)
+    return outcomes
+
+
 @pytest.mark.parametrize("idx", range(len(BLOCKS)))
-def test_migration_snippet(idx, _shared_ns={}):
-    # Blocks share one namespace and run in document order (pytest
-    # collection order preserves the parametrize range), matching how a
-    # reader would paste them into one session.
-    code = BLOCKS[idx]
-    exec(compile(code, f"MIGRATION.md[block {idx}]", "exec"), _shared_ns)
+def test_migration_snippet(idx, block_outcomes):
+    err = block_outcomes[idx]
+    if err is not None:
+        raise AssertionError(
+            f"MIGRATION.md block {idx} failed: {err!r}") from err
