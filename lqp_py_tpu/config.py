@@ -100,6 +100,14 @@ class BoxQPConfig:
     #: Diagonal regularizer added to the masked KKT system in the
     #: fixed-point backward (reference uses 1e-8).
     backward_reg: float = 1e-8
+    #: OSQP-style solution polish (no reference counterpart): after the
+    #: ADMM loop, re-solve with the detected active bounds penalty-pinned
+    #: (models/_polish.py) and accept per element only if feasibility does
+    #: not degrade and the implied active multipliers are nonnegative —
+    #: lifts x from stopping-tolerance accuracy to near working-precision
+    #: for the cost of one extra factorization per solve.  Off by default:
+    #: the flagship per-call latency budget is one factorization.
+    polish: bool = False
     #: Detect primal infeasibility (inconsistent equality constraints /
     #: crossed bounds) from successive dual differences, OSQP-style
     #: (Banjac et al. 2019).  The reference runs to max_iters silently;
@@ -140,6 +148,11 @@ class BoxQPConfig:
                 "(differentiate-through-iterations) path; use the implicit "
                 "backward modes with acceleration, or unroll without it")
         _check_acceleration(self.acceleration)
+        if self.polish and self.unroll:
+            raise ValueError(
+                "polish is not implemented for the unrolled "
+                "(differentiate-through-iterations) path — it returns the "
+                "bare iterate; use the implicit backward modes with polish")
 
     def resolved_check_interval(self, n_x: int) -> int:
         cs = self.check_solved

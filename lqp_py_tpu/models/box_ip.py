@@ -246,28 +246,14 @@ def solve_box_qp_ip(Q, p, A=None, b=None, lb=None, ub=None,
 
     x_fin, y_fin = st.x, st.y
     if config.polish:
-        # Active-set polish, box form (see models/optnet.py): penalty on
-        # the active bound per coordinate; H = Q + diag(w), all elementwise
-        # except the factorization.
-        polish_w = jnp.asarray(1e6 if dtype == jnp.float32 else 1e8, dtype)
-        act_lo = st.z_lo > st.s_lo
-        act_hi = st.z_hi > st.s_hi
-        w_lo = jnp.where(act_lo, polish_w, 0.0)
-        w_hi = jnp.where(act_hi, polish_w, 0.0)
-        fcp = _factor(Q, A, w_lo + w_hi, 0.0)
-        rhs = -p + w_lo * lb + w_hi * ub
-        if A is None:
-            x_pol, y_pol = _mv(fcp.Hinv, rhs), None
-            rhs0 = -p
-        else:
-            t = _mv(fcp.Hinv, rhs)
-            y_pol = _mv(fcp.Sinv, _mv(A, t) - b)
-            x_pol = t - _mv(fcp.W, y_pol)
-            rhs0 = -p - _mtv(A, y_pol)
-        for _ in range(2):
-            resid_p = (rhs0 - _mv(Q, x_pol)
-                       - (w_lo * (x_pol - lb) + w_hi * (x_pol - ub)))
-            x_pol = x_pol + _mv(fcp.Hinv, resid_p)
+        # Active-set polish, box form (shared penalty scheme,
+        # models/_polish.py): H = Q + diag(w), all elementwise except the
+        # factorization.
+        from lqp_py_tpu.models._polish import box_penalty_polish
+        pol = box_penalty_polish(Q, p, A, b, lb, ub,
+                                 act_lo=st.z_lo > st.s_lo,
+                                 act_hi=st.z_hi > st.s_hi)
+        x_pol, y_pol = pol.x, pol.y
         viol_ip = jnp.max(jnp.maximum(lb - st.x, st.x - ub), axis=-1)
         viol_pol = jnp.max(jnp.maximum(lb - x_pol, x_pol - ub), axis=-1)
         if A is not None:

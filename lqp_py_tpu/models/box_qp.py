@@ -611,12 +611,64 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         # final z is not box-feasible by construction like the plain
         # path's clip.  Project it: z is the solution's feasible iterate.
         zs = jnp.clip(zs, lbs, ubs)
-    x = D * st.x
+
+    xs = st.x
+    lam_lo_s = jnp.maximum(-st.u * st.rho[..., None], 0.0)
+    lam_hi_s = jnp.maximum(st.u * st.rho[..., None], 0.0)
+    if config.polish:
+        # OSQP-style active-set polish on the SCALED problem (equivalent —
+        # the polished point unscales through the same D/E as the iterate).
+        # For the plain path sign-of-u is an exact detector: the box
+        # projection leaves u identically 0 on strictly-interior
+        # coordinates.  An accepted Anderson step breaks that exactness
+        # (u is an affine combination), so the AA path detects off the
+        # clipped z instead.
+        from lqp_py_tpu.models._polish import box_penalty_polish
+        if m_aa:
+            # Proximity at tolerance scale (the scaled problem is
+            # equilibrated, so slacks are O(1)): exact z == bound misses
+            # coordinates whose AA combination landed just inside, and
+            # AA's u carries sign noise on truly-inactive coordinates.
+            prox = 10 * jnp.asarray(config.eps_abs + config.eps_rel, dtype)
+            act_lo = jnp.isfinite(lbs) & (zs - lbs <= prox)
+            act_hi = jnp.isfinite(ubs) & (ubs - zs <= prox)
+        else:
+            act_lo = st.u < 0
+            act_hi = st.u > 0
+        pol = box_penalty_polish(Qs, ps, As, bs, lbs, ubs, act_lo, act_hi)
+        thr = jnp.asarray(config.eps_abs, dtype)
+
+        def _viol(xv):
+            v_lo = jnp.where(jnp.isfinite(lbs), lbs - xv, -jnp.inf)
+            v_hi = jnp.where(jnp.isfinite(ubs), xv - ubs, -jnp.inf)
+            v = jnp.max(jnp.maximum(v_lo, v_hi), axis=-1)
+            if As is not None:
+                eq = jnp.einsum("bmi,bi->bm", As, xv,
+                                preferred_element_type=dtype) - bs
+                v = jnp.maximum(v, jnp.max(jnp.abs(eq), axis=-1))
+            return v
+
+        # Accept per element only if the polished point is no less
+        # feasible than the iterate (with an eps_abs floor) and the
+        # implied active multipliers are nonnegative — a negative one
+        # means the active-set guess was wrong for that element.
+        lam_min = jnp.min(jnp.minimum(pol.lam_lo, pol.lam_hi), axis=-1)
+        ok = ((_viol(pol.x) <= jnp.maximum(_viol(st.x), thr))
+              & (lam_min >= -thr) & ~st.pinf)
+        okc = ok[..., None]
+        xs = jnp.where(okc, pol.x, xs)
+        zs = jnp.where(okc, jnp.clip(pol.x, lbs, ubs), zs)
+        lam_lo_s = jnp.where(okc, jnp.maximum(pol.lam_lo, 0.0), lam_lo_s)
+        lam_hi_s = jnp.where(okc, jnp.maximum(pol.lam_hi, 0.0), lam_hi_s)
+        if As is not None:
+            nus = jnp.where(okc[..., 0][..., None], pol.y * E, nus)
+
+    x = D * xs
     z = D * zs
+    # u stays the ADMM iterate's (the warm-start quantity); the reported
+    # multipliers are the polished ones when polish accepted.
     u = st.u / D
-    lams = u * st.rho[..., None]
-    lams = jnp.concatenate([jnp.maximum(-lams, 0.0),
-                            jnp.maximum(lams, 0.0)], axis=-1)
+    lams = jnp.concatenate([lam_lo_s / D, lam_hi_s / D], axis=-1)
 
     return BoxQPSolution(
         x=x, z=z, u=u, lams=lams, nus=nus, rho=st.rho,
@@ -656,6 +708,11 @@ def solve_box_qp_unrolled(Q, p, A=None, b=None, lb=None, ub=None,
         raise ValueError(
             "acceleration is not implemented for the unrolled solver; "
             "use solve_box_qp (the while_loop path) or acceleration=0")
+    if config.polish:
+        # Same direct-call hazard as acceleration above.
+        raise ValueError(
+            "polish is not implemented for the unrolled solver; "
+            "use solve_box_qp (the while_loop path) or polish=False")
     sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config)
     Qs, ps, As, bs, lbs, ubs, D, E = sp
 
