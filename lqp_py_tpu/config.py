@@ -251,6 +251,11 @@ class GenQPConfig:
     #: differences (the SCS eps_infeas capability).
     detect_infeasibility: bool = True
     eps_infeas: float = 1e-5
+    #: OSQP-style active-set polish (see BoxQPConfig.polish): re-solve with
+    #: the detected active rows of G x <= h penalty-pinned
+    #: (H = Q + w G_act' G_act, models/_polish.py) after the splitting
+    #: loop; per-element acceptance.  One extra factorization per solve.
+    polish: bool = False
     #: Anderson-acceleration window on the (w, u) splitting fixed point
     #: (the SCS ``acceleration_lookback`` capability, batched and
     #: lock-step: type-II AA with a sum-to-one combination solved from

@@ -118,3 +118,60 @@ def box_penalty_polish(Q, p, A, b, lb, ub, act_lo, act_hi,
     lam_lo = jnp.where(act_lo, jnp.where(both, jnp.maximum(s, zv), s), zv)
     lam_hi = jnp.where(act_hi, jnp.where(both, jnp.maximum(-s, zv), -s), zv)
     return PolishResult(x=x, y=y, lam_lo=lam_lo, lam_hi=lam_hi)
+
+
+class GenPolishResult(NamedTuple):
+    x: jnp.ndarray
+    y: Optional[jnp.ndarray]   # equality dual (None when A is None)
+    lam: jnp.ndarray           # AL multipliers; negative => wrong guess
+
+
+def gen_penalty_polish(Q, p, A, b, G, h, act,
+                       refine_steps: int = 2) -> GenPolishResult:
+    """General-inequality variant: pin the ``act`` rows of ``G x <= h`` as
+    equalities by penalty (``H = Q + w G_act' G_act``) + AL updates.
+
+    Unlike the box case the inequality multipliers cannot be read off the
+    stationarity identity per row (G mixes coordinates; the read would be
+    a per-element least-squares), so the returned ``lam`` is the
+    accumulated AL estimate — accurate to ~w*eps absolutely, and negative
+    on rows where the active-set guess was wrong.
+    """
+    dtype = Q.dtype
+    w = jnp.asarray(1e6 if dtype == jnp.float32 else 1e8, dtype)
+    zero = jnp.zeros((), dtype)
+    wa = jnp.where(act, w, zero)                      # (B, m)
+    h_act = jnp.where(act, h, zero)
+
+    Gw = G * wa[..., :, None]                         # diag(wa) G
+    H = Q + jnp.einsum("...mi,...mj->...ij", Gw, G,
+                       preferred_element_type=dtype)
+    Hinv = spd_inverse_fast(H)
+    if A is not None:
+        At = jnp.swapaxes(A, -1, -2)
+        W = jnp.einsum("...ij,...jk->...ik", Hinv, At,
+                       preferred_element_type=dtype)
+        S = jnp.einsum("...ij,...jk->...ik", A, W,
+                       preferred_element_type=dtype)
+        Sinv = spd_inverse(S)
+
+    l = jnp.zeros_like(h)
+    x = y = None
+    for _ in range(max(refine_steps, 1)):
+        # Stationarity of the AL subproblem: Qx + p + A'y
+        #   + G'[act * (l + w (Gx - h))] = 0.
+        gl = _mtv(G, wa * h_act - jnp.where(act, l, zero))
+        rhs = -p + gl
+        if A is None:
+            x, y = _mv(Hinv, rhs), None
+            rhs0 = -p - _mtv(G, jnp.where(act, l, zero))
+        else:
+            t = _mv(Hinv, rhs)
+            y = _mv(Sinv, _mv(A, t) - b)
+            x = t - _mv(W, y)
+            rhs0 = -p - _mtv(G, jnp.where(act, l, zero)) - _mtv(A, y)
+        for _ in range(2):
+            resid = rhs0 - _mv(Q, x) - _mtv(G, wa * (_mv(G, x) - h_act))
+            x = x + _mv(Hinv, resid)
+        l = l + wa * (_mv(G, x) - h_act)
+    return GenPolishResult(x=x, y=y, lam=jnp.where(act, l, zero))

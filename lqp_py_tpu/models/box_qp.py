@@ -624,17 +624,25 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         # (u is an affine combination), so the AA path detects off the
         # clipped z instead.
         from lqp_py_tpu.models._polish import box_penalty_polish
+        # Proximity at tolerance scale (the scaled problem is equilibrated,
+        # so slacks are O(1)).
+        prox = 10 * jnp.asarray(config.eps_abs + config.eps_rel, dtype)
         if m_aa:
-            # Proximity at tolerance scale (the scaled problem is
-            # equilibrated, so slacks are O(1)): exact z == bound misses
-            # coordinates whose AA combination landed just inside, and
-            # AA's u carries sign noise on truly-inactive coordinates.
-            prox = 10 * jnp.asarray(config.eps_abs + config.eps_rel, dtype)
+            # AA's u is an affine combination of iterates (sign noise on
+            # truly-inactive coordinates), and exact z == bound misses
+            # coordinates whose combination landed just inside: detect by
+            # proximity alone.
             act_lo = jnp.isfinite(lbs) & (zs - lbs <= prox)
             act_hi = jnp.isfinite(ubs) & (ubs - zs <= prox)
         else:
-            act_lo = st.u < 0
-            act_hi = st.u > 0
+            # Sign-of-u alone over-detects: the over-relaxed (alpha != 1)
+            # dual update is not a pure projection residual, so a
+            # barely-inactive coordinate can carry small nonzero u at
+            # tolerance (measured: 3-5 such coordinates per hard-set
+            # batch).  Requiring z near the bound as well is exact on the
+            # measured seeds.
+            act_lo = (st.u < 0) & (zs - lbs <= prox)
+            act_hi = (st.u > 0) & (ubs - zs <= prox)
         pol = box_penalty_polish(Qs, ps, As, bs, lbs, ubs, act_lo, act_hi)
         thr = jnp.asarray(config.eps_abs, dtype)
 

@@ -450,10 +450,57 @@ def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
     # --- unscale.  At the fixed point the x-step stationarity reads
     # Qx + p + A'nu + G'[rho(w - s - u)] = 0 with s -> w, so the inequality
     # multiplier is lambda = -rho u  (u <= 0 on active rows).
-    x = D * st.x
-    lams = jnp.maximum(-st.rho[..., None] * st.u * EG, 0.0)
-    slacks = jnp.maximum(st.w / EG, 0.0)
-    nus = None if st.nu is None else st.nu * EA
+    xs = st.x
+    lam_hat = jnp.maximum(-st.rho[..., None] * st.u, 0.0)
+    slack_hat = jnp.maximum(st.w, 0.0)
+    nu_hat = st.nu
+    if config.polish:
+        # OSQP-style active-set polish on the SCALED problem (see the box
+        # solver / models/_polish.py).  Plain path: the slack projection
+        # leaves u identically 0 on inactive rows, so sign-of-u is exact;
+        # the AA path's u is an affine combination, detect by slack
+        # proximity at tolerance scale instead.
+        from lqp_py_tpu.models._polish import gen_penalty_polish
+        prox = 10 * jnp.asarray(eps_abs + eps_rel, dtype)
+        if m_aa:
+            act = st.w <= prox
+        else:
+            # sign-of-u alone over-detects: a barely-inactive row can sit
+            # at small negative u at tolerance; requiring the projected
+            # slack to be near zero as well is exact on the measured
+            # seeds (wrongly-pinned rows made the polish diverge before
+            # the acceptance test rejected it).
+            act = (st.u < 0) & (st.w <= prox)
+        pol = gen_penalty_polish(Qs, ps, As, bs, Gs, hs, act)
+        thr = jnp.asarray(eps_abs, dtype)
+
+        def _viol(xv):
+            gv = jnp.einsum("bki,bi->bk", Gs, xv,
+                            preferred_element_type=dtype) - hs
+            v = jnp.max(jnp.maximum(gv, 0.0), axis=-1)
+            if As is not None:
+                eq = jnp.einsum("bmi,bi->bm", As, xv,
+                                preferred_element_type=dtype) - bs
+                v = jnp.maximum(v, jnp.max(jnp.abs(eq), axis=-1))
+            return v
+
+        # A negative AL multiplier on an active row means the guess was
+        # wrong for that element; inactive rows are exactly 0 in pol.lam.
+        ok = ((_viol(pol.x) <= jnp.maximum(_viol(st.x), thr))
+              & (jnp.min(pol.lam, axis=-1) >= -thr) & ~st.pinf)
+        okc = ok[..., None]
+        xs = jnp.where(okc, pol.x, xs)
+        lam_hat = jnp.where(okc, jnp.maximum(pol.lam, 0.0), lam_hat)
+        gx = jnp.einsum("bki,bi->bk", Gs, pol.x,
+                        preferred_element_type=dtype)
+        slack_hat = jnp.where(okc, jnp.maximum(hs - gx, 0.0), slack_hat)
+        if As is not None:
+            nu_hat = jnp.where(okc[..., 0][..., None], pol.y, nu_hat)
+
+    x = D * xs
+    lams = lam_hat * EG
+    slacks = slack_hat / EG
+    nus = None if nu_hat is None else nu_hat * EA
 
     return QPSolution(
         x=x, lams=lams, slacks=slacks, nus=nus,

@@ -75,9 +75,11 @@ def test_polish_with_pinned_bounds():
                                np.asarray(pin[:, :4]), atol=1e-12, rtol=0)
 
 
-def test_polish_never_degrades_on_hard_set():
-    # Ill-conditioned problems at loose tolerance: the active-set guess is
-    # often wrong and the acceptance test must keep the ADMM iterate.
+def test_polish_hard_set():
+    # Ill-conditioned problems at loose tolerance: the slack-filtered
+    # detector identifies the active set exactly on these seeds (raw
+    # sign-of-u over-detects under over-relaxation), so the polish reaches
+    # near-machine precision; at minimum it must never degrade.
     for seed in (0, 1):
         d = generate_hard_qp(24, 8, seed=seed, dtype=jnp.float64)
         tight = solve_box_qp(*d, config=TIGHT)
@@ -86,6 +88,40 @@ def test_polish_never_degrades_on_hard_set():
         e_plain = _max_err(plain.x, tight.x)
         e_pol = _max_err(pol.x, tight.x)
         assert e_pol <= e_plain * 1.01 + 1e-12, (seed, e_plain, e_pol)
+        assert e_pol < 1e-9, (seed, e_pol)
+
+
+def test_genqp_polish():
+    from lqp_py_tpu import GenQPConfig
+    from lqp_py_tpu.models.genqp import solve_qp_gen
+
+    for seed in (0, 42):
+        d = create_qp_data(30, 8, seed=seed, dtype=jnp.float64)
+        G, h = d.with_G_h()
+        tight = solve_box_qp(*d, config=TIGHT)
+        pol = solve_qp_gen(d.Q, d.p, d.A, d.b, G, h,
+                           config=GenQPConfig(**LOOSE, polish=True))
+        assert _max_err(pol.x, tight.x) < 1e-9
+        # Polished duals satisfy stationarity (to the AL w*eps scale) and
+        # complementarity.
+        stat = (jnp.einsum("bij,bj->bi", d.Q, pol.x) + d.p
+                + jnp.einsum("bki,bk->bi", G, pol.lams)
+                + jnp.einsum("bmi,bm->bi", d.A, pol.nus))
+        assert float(jnp.max(jnp.abs(stat))) < 1e-6
+        assert float(jnp.max(jnp.abs(pol.lams * pol.slacks))) < 1e-12
+
+
+def test_genqp_polish_with_acceleration():
+    from lqp_py_tpu import GenQPConfig
+    from lqp_py_tpu.models.genqp import solve_qp_gen
+
+    d = create_qp_data(24, 6, seed=3, dtype=jnp.float64)
+    G, h = d.with_G_h()
+    tight = solve_box_qp(*d, config=TIGHT)
+    pol = solve_qp_gen(d.Q, d.p, d.A, d.b, G, h,
+                       config=GenQPConfig(**LOOSE, acceleration=5,
+                                          polish=True))
+    assert _max_err(pol.x, tight.x) < 1e-8
 
 
 def test_polish_with_acceleration():
