@@ -74,6 +74,27 @@ def sweep_size(n_x, n_batch, tol, n_reps):
                 cells.append(cell)
                 print(f"n={n_x} {label} refine={refine} polish={polish}: "
                       f"dev={dev:.2e} fwd={cell['fwd_s']:.4f}s")
+
+    # ADMM at the same working tolerance, with and without the OSQP-style
+    # polish — the accuracy comparator for the IP cells above and the
+    # measured cost of the polish's extra factorization.
+    for polish in (False, True):
+        cfg = BoxQPConfig(eps_abs=tol, eps_rel=tol, polish=polish)
+        fn = jax.jit(lambda *a, cfg=cfg: solve_box_qp(*a, cfg).x)
+        x = fn(*data)
+        _force(x)
+        dev = float(jnp.max(jnp.abs(x - x_tight)))
+        ts = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            _force(fn(*data))
+            ts.append(time.perf_counter() - t0)
+        cell = {"solver": "ADMM", "n_x": n_x, "refine_steps": 0,
+                "polish": polish, "max_dev_x_vs_tight": dev,
+                "fwd_s": statistics.median(ts)}
+        cells.append(cell)
+        print(f"n={n_x} ADMM polish={polish}: dev={dev:.2e} "
+              f"fwd={cell['fwd_s']:.4f}s")
     return cells
 
 

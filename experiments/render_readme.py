@@ -281,6 +281,17 @@ def render():
                         row += " — | — |"
                 out.append(row)
         out.append("")
+        admm = {bool(c["polish"]): c for c in ipacc["cells"]
+                if c["n_x"] == mx_n and c["solver"] == "ADMM"}
+        if True in admm and False in admm:
+            a0, a1 = admm[False], admm[True]
+            out.append(
+                f"ADMM at the same tolerance deviates "
+                f"{a0['max_dev_x_vs_tight']:.1e} from the tight solve "
+                f"({_fmt(a0['fwd_s'])} s);\nwith the OSQP-style `polish=True` "
+                f"(one extra factorization): "
+                f"{a1['max_dev_x_vs_tight']:.1e} ({_fmt(a1['fwd_s'])} s).")
+            out.append("")
 
     if bench:
         r = {x["n_x"]: x for x in bench["results"]}

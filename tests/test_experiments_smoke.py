@@ -30,12 +30,16 @@ def test_ip_accuracy_smoke(tmp_path, monkeypatch):
          tmp_path, monkeypatch)
     art = json.loads((tmp_path / "ip_accuracy_results.json").read_text())
     cells = art["cells"]
-    # 2 solvers x 3 refine x 2 polish.
-    assert len(cells) == 12
+    # 2 IP solvers x 3 refine x 2 polish, plus ADMM with/without polish.
+    assert len(cells) == 14
     for c in cells:
-        assert c["solver"] in ("OptNet_IP", "BoxIP")
+        assert c["solver"] in ("OptNet_IP", "BoxIP", "ADMM")
         assert c["max_dev_x_vs_tight"] < 1e-1
         assert c["fwd_s"] > 0
+    admm = {c["polish"]: c for c in cells if c["solver"] == "ADMM"}
+    # The polished ADMM solve must beat the unpolished accuracy.
+    assert (admm[True]["max_dev_x_vs_tight"]
+            <= admm[False]["max_dev_x_vs_tight"])
     # Polish must not degrade accuracy vs the unpolished cell.
     by_key = {(c["solver"], c["refine_steps"], c["polish"]): c for c in cells}
     for solver in ("OptNet_IP", "BoxIP"):
