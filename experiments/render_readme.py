@@ -10,6 +10,7 @@ Run:  python experiments/render_readme.py
 """
 
 import json
+import os
 import statistics
 import sys
 
@@ -100,6 +101,10 @@ def render():
                 speedups[(dz, c)] = ref / tot
         out.append(row)
     out.append("")
+    if results and os.path.exists("exp1_times.png"):
+        out.append("![Experiment-1 timings per solver and size]"
+                   "(exp1_times.png)")
+        out.append("")
 
     # Device-limited table: the per-call numbers above charge every call
     # ~25-60 ms of remote-tunnel dispatch that local hardware would not
