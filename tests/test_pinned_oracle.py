@@ -176,3 +176,28 @@ def test_box_admm_with_infinite_bounds_matches_eqcon_pin():
                                atol=1e-7, rtol=0)
     np.testing.assert_allclose(np.asarray(sol.nus)[0], rec["nu"],
                                atol=1e-7, rtol=0)
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_box_admm_polished_matches_pinned_oracle(name):
+    # Polished LOOSE solves must reproduce the pinned scipy x AND duals
+    # tighter than the plain tight solve does (the polish extracts
+    # multipliers from the stationarity identity).
+    rec = PROBLEMS[name]
+    cfg = BoxQPConfig(eps_abs=1e-6, eps_rel=1e-6, polish=True)
+    sol = solve_box_qp(*_batched(rec), cfg)
+    assert bool(jnp.all(sol.converged))
+    _check(f"ADMM+polish/{name}", rec, sol.x, sol.lams, sol.nus,
+           x_tol=1e-8, dual_tol=1e-7)
+
+
+@pytest.mark.parametrize("name", sorted(PROBLEMS))
+def test_genqp_polished_matches_pinned_oracle(name):
+    rec = PROBLEMS[name]
+    Q, p, A, b, lb, ub = _batched(rec)
+    G, h = _gh(rec)
+    cfg = GenQPConfig(eps_abs=1e-6, eps_rel=1e-6, polish=True)
+    sol = solve_qp_gen(Q, p, A, b, G, h, config=cfg)
+    assert bool(jnp.all(sol.converged))
+    _check(f"GenQP+polish/{name}", rec, sol.x, sol.lams, sol.nus,
+           x_tol=1e-8, dual_tol=1e-7)
