@@ -1,7 +1,7 @@
 """Active-set penalty polish shared by the box solvers (OSQP 'polishing').
 
 Given a guessed active set, re-solve the QP with the active bounds
-enforced by a large quadratic penalty (w = 1e6 f32 / 1e8 f64 — the same
+enforced by a quadratic penalty (w = 1e4 f32 / 1e6 f64 — the same
 penalty active-set scheme as the general IP's polish, models/optnet.py),
 then iteratively refine through the factored operator.  The penalty form
 keeps the per-element systems SPD and uniformly shaped, so one batched
@@ -44,8 +44,20 @@ class PolishResult(NamedTuple):
     lam_hi: jnp.ndarray
 
 
+def _penalty_weight(dtype):
+    # With the augmented-Lagrangian updates the penalty no longer has to
+    # be huge (the multiplier update kills the lam/w bias at ~(sigma/w)
+    # per outer pass), and a LOWER w is strictly safer: the AL update's
+    # rounding noise is w*eps*|constraint scale| — at 1e6 in f32 that is
+    # ~0.12, which swamped a genuinely negative multiplier read (-0.0097)
+    # and let a wrongly-pinned point through the sign test.  1e4/1e6 keep
+    # the noise at ~1e-3 (f32) / 2e-10 (f64) while three outer passes
+    # drive the bias to machine scale.
+    return jnp.asarray(1e4 if dtype == jnp.float32 else 1e6, dtype)
+
+
 def box_penalty_polish(Q, p, A, b, lb, ub, act_lo, act_hi,
-                       refine_steps: int = 2) -> PolishResult:
+                       refine_steps: int = 3) -> PolishResult:
     """Penalty-pinned re-solve of ``min 1/2 x'Qx + p'x, Ax = b`` with the
     ``act_lo``/``act_hi`` coordinates pulled onto their bound.
 
@@ -55,7 +67,7 @@ def box_penalty_polish(Q, p, A, b, lb, ub, act_lo, act_hi,
     must include the equality residual in their acceptance test.
     """
     dtype = Q.dtype
-    w = jnp.asarray(1e6 if dtype == jnp.float32 else 1e8, dtype)
+    w = _penalty_weight(dtype)
     zero = jnp.zeros((), dtype)
     w_lo = jnp.where(act_lo, w, zero)
     w_hi = jnp.where(act_hi, w, zero)
@@ -105,7 +117,7 @@ def box_penalty_polish(Q, p, A, b, lb, ub, act_lo, act_hi,
     # polished point (lam_lo - lam_hi = Qx + p + A'y on the active set)
     # instead of the accumulated AL estimates: the accumulation carries a
     # w*eps absolute error (the w*(x - bound) update amplifies the
-    # rounding of x - bound), ~1e-8 in f64; the direct read costs one GEMV
+    # rounding of x - bound), ~2e-10 in f64; the direct read costs one GEMV
     # and makes stationarity exact by construction.  A coordinate active
     # on BOTH sides (lb == ub pin) legitimately takes either sign, split
     # by relu; a single-sided NEGATIVE read means the active-set guess
@@ -127,7 +139,7 @@ class GenPolishResult(NamedTuple):
 
 
 def gen_penalty_polish(Q, p, A, b, G, h, act,
-                       refine_steps: int = 2) -> GenPolishResult:
+                       refine_steps: int = 3) -> GenPolishResult:
     """General-inequality variant: pin the ``act`` rows of ``G x <= h`` as
     equalities by penalty (``H = Q + w G_act' G_act``) + AL updates.
 
@@ -138,7 +150,7 @@ def gen_penalty_polish(Q, p, A, b, G, h, act,
     on rows where the active-set guess was wrong.
     """
     dtype = Q.dtype
-    w = jnp.asarray(1e6 if dtype == jnp.float32 else 1e8, dtype)
+    w = _penalty_weight(dtype)
     zero = jnp.zeros((), dtype)
     wa = jnp.where(act, w, zero)                      # (B, m)
     h_act = jnp.where(act, h, zero)

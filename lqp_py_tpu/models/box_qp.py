@@ -634,6 +634,17 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             # proximity alone.
             act_lo = jnp.isfinite(lbs) & (zs - lbs <= prox)
             act_hi = jnp.isfinite(ubs) & (ubs - zs <= prox)
+            # A NARROW (but not pinned) box with ub - lb <= ~2 prox fires
+            # both sides; the helper's two-sided penalty would then pull
+            # the coordinate to the box MIDPOINT (up to half-width error,
+            # measured 5e-4 at width 1e-3) and the relu-split multiplier
+            # read can never flag it.  Pin every double-fire AT the
+            # iterate's z instead — a trusted value whose error is the
+            # plain solve's own; exact lb == ub pins are unchanged by
+            # this (z equals both bounds there).
+            both = act_lo & act_hi
+            lbs_pol = jnp.where(both, zs, lbs)
+            ubs_pol = jnp.where(both, zs, ubs)
         else:
             # Sign-of-u alone over-detects: the over-relaxed (alpha != 1)
             # dual update is not a pure projection residual, so a
@@ -643,7 +654,9 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             # measured seeds.
             act_lo = (st.u < 0) & (zs - lbs <= prox)
             act_hi = (st.u > 0) & (ubs - zs <= prox)
-        pol = box_penalty_polish(Qs, ps, As, bs, lbs, ubs, act_lo, act_hi)
+            lbs_pol, ubs_pol = lbs, ubs
+        pol = box_penalty_polish(Qs, ps, As, bs, lbs_pol, ubs_pol,
+                                 act_lo, act_hi)
         thr = jnp.asarray(config.eps_abs, dtype)
 
         def _viol(xv):

@@ -457,35 +457,13 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
         # interior d — recovers solve-accuracy x for one factorization's
         # cost.  Accepted per element only if constraint violation did
         # not regress.
-        # Penalty weight: large enough that the active-set bias lam/w is
-        # below tol, small enough that cond(H) * eps stays << 1 so the
-        # refinement below contracts (w = 1e14 at f64 made cond*eps ~ 0.2
-        # and the polish WORSE than the interior point).
-        polish_w = jnp.asarray(1e6 if dtype == jnp.float32 else 1e8,
-                               dtype)
-        w_act = jnp.where(st.z > st.s, polish_w, jnp.zeros((), dtype))
-        # No int_reg here: Q is SPD on its own, and the regularizer's bias
-        # (int_reg * ||x||) would dominate the polished stationarity.
-        fcp = ip_factor_condensed(Q, A, G, w_act, 0.0)
-        rhs = -p + _mtv(G, w_act * h)
-        t = _mv(fcp.Hinv, rhs)
-        if A is None:
-            x_pol, y_pol = t, None
-        else:
-            y_pol = _mv(fcp.Sinv, _mv(A, t) - b)
-            x_pol = t - _mv(fcp.W, y_pol)
-        # Two refinement passes: the f32 materialized inverse at penalty
-        # diagonal ~1e6 leaves active-constraint violations ~1e-3 on its
-        # own (measured on v5e); refinement restores them to ~1e-5.
-        # NUMERICS: the penalty part of the residual must be computed as
-        # w * (Gx - h) FIRST — evaluating G'(w*Gx) and G'(w*h) separately
-        # cancels ~1e6-magnitude terms to O(10) and f32 loses the digits
-        # the refinement was supposed to recover.
-        rhs0 = -p if A is None else -p - _mtv(A, y_pol)
-        for _ in range(2):
-            resid_p = (rhs0 - _mv(Q, x_pol)
-                       - _mtv(G, w_act * (_mv(G, x_pol) - h)))
-            x_pol = x_pol + _mv(fcp.Hinv, resid_p)
+        # Shared penalty + augmented-Lagrangian scheme (models/_polish.py:
+        # no int_reg — Q is SPD on its own; penalty residuals computed as
+        # w * (Gx - h) FIRST to avoid f32 cancellation; AL multiplier
+        # updates kill the lam/w bias the pure-penalty version left).
+        from lqp_py_tpu.models._polish import gen_penalty_polish
+        pol = gen_penalty_polish(Q, p, A, b, G, h, act=st.z > st.s)
+        x_pol, y_pol = pol.x, pol.y
         viol_ip = jnp.max(jnp.maximum(_mv(G, st.x) - h, 0.0), axis=-1)
         viol_pol = jnp.max(jnp.maximum(_mv(G, x_pol) - h, 0.0), axis=-1)
         if A is not None:
@@ -497,7 +475,13 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
                 viol_ip, jnp.max(jnp.abs(_mv(A, st.x) - b), axis=-1))
             viol_pol = jnp.maximum(
                 viol_pol, jnp.max(jnp.abs(_mv(A, x_pol) - b), axis=-1))
-        ok = viol_pol <= jnp.maximum(viol_ip, eps_abs + eps_rel * h_norm)
+        # Accept only if feasibility did not regress AND the AL multiplier
+        # read is nonnegative (a negative read means the z > s active-set
+        # guess was wrong for that element — same test as the splitting
+        # solvers').
+        thr_acc = eps_abs + eps_rel * h_norm
+        ok = ((viol_pol <= jnp.maximum(viol_ip, thr_acc))
+              & (jnp.min(pol.lam, axis=-1) >= -thr_acc))
         x_fin = jnp.where(ok[..., None], x_pol, st.x)
         if y_pol is not None:
             y_fin = jnp.where(ok[..., None], y_pol, st.y)

@@ -174,3 +174,44 @@ def test_polish_unrolled_rejected():
         solve_box_qp_unrolled(*d, config=BoxQPConfig(polish=True))
     with _pt.raises(ValueError, match="polish"):
         BoxQPConfig(polish=True, unroll=True)
+
+
+def test_genqp_polish_f32_at_scale_never_degrades():
+    """Review finding: at f32/n=200 the old w=1e6 penalty's AL-multiplier
+    noise floor (w*eps ~ 0.12) swamped a genuinely negative multiplier
+    read and accepted a 500x-degraded point.  With w=1e4 the floor is
+    ~1e-3 and the wrong pin must be rejected (or the polish must win)."""
+    from lqp_py_tpu import GenQPConfig
+    from lqp_py_tpu.models.genqp import solve_qp_gen
+
+    d = create_qp_data(200, 4, seed=0, dtype=jnp.float32)
+    G, h = d.with_G_h()
+    d64 = jax.tree_util.tree_map(lambda v: jnp.asarray(v, jnp.float64), d)
+    tight = solve_box_qp(*d64, config=TIGHT).x.astype(jnp.float32)
+    cfg = dict(eps_abs=1e-3, eps_rel=1e-3)
+    plain = solve_qp_gen(d.Q, d.p, d.A, d.b, G, h,
+                         config=GenQPConfig(**cfg))
+    pol = solve_qp_gen(d.Q, d.p, d.A, d.b, G, h,
+                       config=GenQPConfig(**cfg, polish=True))
+    e_plain = _max_err(plain.x, tight)
+    e_pol = _max_err(pol.x, tight)
+    assert e_pol <= max(e_plain * 2.0, 1e-4), (e_plain, e_pol)
+
+
+def test_polish_aa_narrow_box_never_degrades():
+    """Review finding: the AA proximity detector fired BOTH sides of a
+    narrow (ub - lb ~ tolerance) box, the helper relu-split the
+    multiplier read as if it were a pin, and a wrongly-pinned midpoint
+    was accepted 1000x off.  Wide double-fires now resolve to the nearer
+    side and must reject (or win)."""
+    d = create_qp_data(30, 8, seed=0, dtype=jnp.float64)
+    ub = d.ub.at[:, :5].set(d.lb[:, :5] + 1e-3)
+    args = (d.Q, d.p, d.A, d.b, d.lb, ub)
+    tight = solve_box_qp(*args, config=TIGHT)
+    cfg = dict(eps_abs=1e-4, eps_rel=1e-4)
+    plain = solve_box_qp(*args, config=BoxQPConfig(**cfg, acceleration=5))
+    pol = solve_box_qp(*args, config=BoxQPConfig(**cfg, acceleration=5,
+                                                 polish=True))
+    e_plain = _max_err(plain.x, tight.x)
+    e_pol = _max_err(pol.x, tight.x)
+    assert e_pol <= e_plain * 1.5 + 1e-10, (e_plain, e_pol)
