@@ -51,6 +51,23 @@ def test_ip_accuracy_smoke(tmp_path, monkeypatch):
         assert polished <= plain * 1.5
 
 
+def test_exp1_smoke(tmp_path, monkeypatch):
+    _run(REPO / "experiments" / "experiment_1.py",
+         ["--sizes", "16", "--n-batch", "4", "--n-sims", "1"],
+         tmp_path, monkeypatch)
+    art = json.loads((tmp_path / "exp1_results.json").read_text())
+    cell = art["results"]["16"]
+    for mode in ("ADMM_FP", "ADMM_KKT", "ADMM_Unroll", "GenQP",
+                 "OptNet_IP", "BoxIP"):
+        assert cell[mode]["total"] > 0, mode
+        assert cell[mode]["max_dev_x_vs_tight"] < 2e-2, mode
+        # ADMM_Unroll returns the bare x (reference parity) — no
+        # per-element status to count, its gate is the deviation above.
+        if mode != "ADMM_Unroll":
+            assert cell[mode]["n_converged"] == 4, mode
+    assert art["n_sims"] == 1
+
+
 def test_aa_experiment_smoke(tmp_path, monkeypatch):
     _run(REPO / "experiments" / "experiment_aa.py",
          ["--sizes", "16", "--n-batch", "4", "--windows", "4",
