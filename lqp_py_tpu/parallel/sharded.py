@@ -20,7 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from lqp_py_tpu.config import BoxQPConfig
 from lqp_py_tpu.models.box_qp import solve_box_qp
