@@ -14,6 +14,15 @@ the gradients of all six problem data follow from one batched solve of
 where ``M = [[Q, Abar^T], [-Abar, 0]]`` with ``Abar = [A; G]`` and ``D`` is
 the derivative of the Euclidean projection onto the cone (identity on the
 x and zero-cone blocks, step function on the nonnegative block).
+
+Memory model: the self-dual system is materialized DENSE and NON-SYMMETRIC
+at ``(B, N, N)`` with ``N = n + n_eq + k`` — for the box shape
+``k = 2n`` that is ``(B, 3n+n_eq, 3n+n_eq)``, i.e. ~4.6 GB at the
+flagship (B=128, n=1000) — the very operand class the condensed KKT
+backward exists to avoid (box_qp_grad.py:228-233).  This is a PARITY mode
+for small problems; ``_genqp_bwd`` auto-falls back to the condensed
+``'kkt'`` rule (with a warning) when the system would exceed
+``CONIC_BACKWARD_MAX_BYTES``.
 """
 
 from __future__ import annotations
@@ -21,6 +30,17 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+
+#: Trace-time budget for the materialized (B, N, N) self-dual system.
+#: 1 GiB keeps the conic mode usable through n~300 at B=128 while
+#: refusing the 4.6 GB flagship-shape operand (remote-compile killer).
+CONIC_BACKWARD_MAX_BYTES = 1 << 30
+
+
+def conic_backward_bytes(B, n, n_eq, k, itemsize) -> int:
+    """Bytes of the dense self-dual system the conic backward materializes."""
+    N = n + n_eq + k
+    return B * N * N * itemsize
 
 
 def conic_qp_grads(dl_dx, x, lams, slacks, Q, A, G) -> Tuple:

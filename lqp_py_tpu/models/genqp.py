@@ -548,14 +548,31 @@ def _genqp_fwd(config, Q, p, A, b, G, h):
 @solver_precision
 def _genqp_bwd(config, res, dl_dz):
     x, lams, slacks, nus, Q, A, G = res
-    if config.backward == "conic":
+    backward = config.backward
+    if backward == "conic":
+        from lqp_py_tpu.models.conic_grad import (CONIC_BACKWARD_MAX_BYTES,
+                                                  conic_backward_bytes)
+        need = conic_backward_bytes(
+            Q.shape[0], Q.shape[-1], 0 if A is None else A.shape[-2],
+            G.shape[-2], jnp.dtype(Q.dtype).itemsize)
+        if need > CONIC_BACKWARD_MAX_BYTES:
+            import warnings
+            warnings.warn(
+                f"backward='conic' would materialize a dense "
+                f"{need / 2**30:.1f} GiB self-dual system at this shape "
+                f"(budget {CONIC_BACKWARD_MAX_BYTES / 2**30:.1f} GiB); "
+                f"falling back to the condensed 'kkt' rule — equivalent "
+                f"gradients for a converged solution, n x n memory",
+                stacklevel=2)
+            backward = "kkt"
+    if backward == "conic":
         dQ, dp, dA, db, dG, dh = conic_qp_grads(
             dl_dz, x=x, lams=lams, slacks=slacks, Q=Q, A=A, G=G)
-    elif config.backward == "kkt":
+    elif backward == "kkt":
         dQ, dp, dA, db, dG, dh = gen_qp_grad_kkt(
             dl_dz, x=x, lams=lams, slacks=slacks, nus=nus, Q=Q, A=A, G=G)
     else:
-        raise ValueError(f"unknown backward mode {config.backward!r}")
+        raise ValueError(f"unknown backward mode {backward!r}")
     if A is None:
         dA, db = None, None
     return dQ, dp, dA, db, dG, dh

@@ -293,3 +293,49 @@ def test_scs_control_acceleration_lookback_maps():
     assert cfg.acceleration == 7
     # SCS uses negative lookback for type-I AA; magnitude maps.
     assert scs_control(acceleration_lookback=-5).acceleration == 5
+
+
+def test_conic_backward_guard_fires_at_flagship_shape():
+    """backward='conic' materializes a dense (B, n+m+2n)^2 self-dual system
+    (~4.6 GB at B=128, n=1000); the backward must auto-fall back to the
+    condensed 'kkt' rule with a warning instead of allocating it
+    (round-3 verdict #7).  Traced via eval_shape: no memory is committed."""
+    import warnings
+
+    import jax
+
+    from lqp_py_tpu import GenQPConfig
+    from lqp_py_tpu.models.genqp import qp_gen
+
+    B, n = 128, 1000
+    f32 = jnp.float32
+    Q = jax.ShapeDtypeStruct((B, n, n), f32)
+    p = jax.ShapeDtypeStruct((B, n), f32)
+    A = jax.ShapeDtypeStruct((B, 1, n), f32)
+    b = jax.ShapeDtypeStruct((B, 1), f32)
+    G = jax.ShapeDtypeStruct((B, 2 * n, n), f32)
+    h = jax.ShapeDtypeStruct((B, 2 * n), f32)
+    cfg = GenQPConfig(backward="conic")
+
+    def loss(Q, p, A, b, G, h):
+        return jnp.sum(qp_gen(Q, p, A, b, G, h, config=cfg))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = jax.eval_shape(jax.grad(loss, argnums=(0, 1)), Q, p, A, b, G, h)
+    assert any("falling back" in str(w.message) for w in caught), \
+        "conic-backward scale guard did not fire at the flagship shape"
+    assert out[0].shape == (B, n, n)
+
+    # Small shapes stay on the true conic rule (no warning).
+    Bs, ns = 2, 12
+    Qs = jax.ShapeDtypeStruct((Bs, ns, ns), f32)
+    ps = jax.ShapeDtypeStruct((Bs, ns), f32)
+    As = jax.ShapeDtypeStruct((Bs, 1, ns), f32)
+    bs = jax.ShapeDtypeStruct((Bs, 1), f32)
+    Gs = jax.ShapeDtypeStruct((Bs, 2 * ns, ns), f32)
+    hs = jax.ShapeDtypeStruct((Bs, 2 * ns), f32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        jax.eval_shape(jax.grad(loss, argnums=(0, 1)), Qs, ps, As, bs, Gs, hs)
+    assert not any("falling back" in str(w.message) for w in caught)
