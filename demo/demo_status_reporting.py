@@ -53,6 +53,20 @@ def main():
     print("ok: infeasibility certified without burning max_iters "
           f"({int(sol.iterations)} << 20000)")
 
+    # Mid-solve residual trajectory WITHOUT host callbacks: the reference
+    # prints residuals from inside the loop (solve_box_qp_admm_torch.py:
+    # 289-294), which needs the host; config.residual_trace carries a ring
+    # buffer through the while loop instead, so it works on remote TPU.
+    sol_t = solve_box_qp(Q, p, A, b, lb, ub,
+                         config=BoxQPConfig(eps_abs=1e-6, eps_rel=1e-6,
+                                            max_iters=20000,
+                                            residual_trace=16))
+    print("\nresidual trajectory (last 16 checks, on-device ring buffer):")
+    import numpy as np
+    tr = np.asarray(sol_t.residual_trace)
+    for it, pe, de in tr[tr[:, 0] >= 0]:
+        print(f"  iter {int(it):5d}  max primal={pe:.3e}  max dual={de:.3e}")
+
 
 if __name__ == "__main__":
     main()

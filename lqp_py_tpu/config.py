@@ -20,12 +20,15 @@ from typing import Optional
 
 def _check_interval_default(n_x: int) -> int:
     # Reference heuristic: max(round(sqrt(n_x)/10)*10, 1)
-    # (solve_box_qp_admm_torch.py:139), capped at 10.  The reference's
+    # (solve_box_qp_admm_torch.py:139), capped at 4.  The reference's
     # uncapped value (30 at n_x=1000) was tuned for CPU, where each check
-    # costs a host sync; on TPU the check is traced on-device (one extra
-    # GEMV + reductions), so checking every <=10 iterations avoids running
-    # up to 29 unneeded iterations past convergence.
-    return max(min(round(math.sqrt(n_x) / 10) * 10, 10), 1)
+    # costs a host sync.  On TPU the check is traced on-device, and since
+    # the Qx tolerance normalizer moved to the KKT identity (no (B, n, n)
+    # GEMV per check) a check costs ~0.15 ms vs ~0.7 ms per iteration at
+    # the flagship shape: expected overshoot past convergence is cs/2
+    # iterations, so the optimum sits near sqrt(iters * check/iter) ~ 3-4
+    # (measured: cap 10 exits at 21 iterations where convergence is at 17).
+    return max(min(round(math.sqrt(n_x) / 10) * 10, 4), 1)
 
 
 def _check_acceleration(m: int) -> None:
@@ -115,6 +118,15 @@ class BoxQPConfig:
     detect_infeasibility: bool = True
     #: Relative tolerance of the infeasibility certificate test.
     eps_infeas: float = 1e-5
+    #: Mid-solve observability without host callbacks: when K > 0 the
+    #: while-loop carries a (K, 3) ring buffer of
+    #: ``[iteration, max primal residual, max dual residual]`` rows — one
+    #: per residual check, keeping the LAST K checks — returned as
+    #: ``solution.residual_trace``.  The reference prints residuals
+    #: mid-solve (solve_box_qp_admm_torch.py:289-294), which ``verbose``
+    #: replicates on CPU only (the axon TPU platform has no host
+    #: callbacks); this is the TPU-safe equivalent.  0 = off.
+    residual_trace: int = 0
     #: Use the Pallas fused ADMM-step kernel (inverse mode only): fuses the
     #: GEMV + projection + dual update and skips HBM reads entirely for
     #: batch elements that have already converged (per-element early exit,

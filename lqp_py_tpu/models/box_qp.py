@@ -65,6 +65,13 @@ class _LoopState(NamedTuple):
     u_chk: jax.Array               # (B, n) u at the previous check (unpadded)
     nu_chk: "Optional[jax.Array]"  # (B, m) nu at the previous check
     pinf: jax.Array                # (B,) bool — infeasibility certificate
+    #: (B,) bool — elements whose rho must update now; makes the inner
+    #: while exit so the refactorization runs in the outer loop body.
+    rho_pending: jax.Array = None
+    #: (K, 3) residual-trace ring buffer [it, max primal, max dual] and its
+    #: write counter (None / () int32 when config.residual_trace == 0).
+    trace: "Optional[jax.Array]" = None
+    n_chk: "Optional[jax.Array]" = None
     #: Anderson-acceleration state over v = [z; u] (None when
     #: config.acceleration == 0) — see ops/anderson.py.
     aa: "Optional[anderson.AAState]" = None
@@ -218,13 +225,23 @@ def _pad_factors(f: "lin.KKTFactors", pad):
 
         return f.replace(
             P=None if f.P is None else _cut(f.P),
+            Hinv=None if f.Hinv is None else _cut(f.Hinv),
             L=None if f.L is None else _cut(f.L),
-            W=None if f.W is None else f.W[..., :f.W.shape[-2] + m, :])
+            W=None if f.W is None else f.W[..., :f.W.shape[-2] + m, :],
+            WS=None if f.WS is None else f.WS[..., :f.WS.shape[-2] + m, :])
+
+    def _pad_nn(a):
+        return jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
+
+    def _pad_nm(a):
+        return jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+
     return f.replace(
-        P=None if f.P is None else jnp.pad(f.P,
-                                           ((0, 0), (0, pad), (0, pad))),
+        P=None if f.P is None else _pad_nn(f.P),
+        Hinv=None if f.Hinv is None else _pad_nn(f.Hinv),
         L=None if f.L is None else _pad_identity(f.L, pad),
-        W=None if f.W is None else jnp.pad(f.W, ((0, 0), (0, pad), (0, 0))))
+        W=None if f.W is None else _pad_nm(f.W),
+        WS=None if f.WS is None else _pad_nm(f.WS))
 
 
 @solver_precision
@@ -237,12 +254,14 @@ def prepare_box_qp(Q, A=None, b=None, lb=None, ub=None,
     mode = _mode(config)
     # Factorize at the lane-aligned size _solve_scaled will use, so the
     # cached factors are consumed without a per-solve pad copy.
-    n_pad, _ = _padded_n(config, n, mode)
+    n_pad, use_pallas = _padded_n(config, n, mode)
     pad = n_pad - n
     Qp = _pad_identity(sp.Q, pad) if pad else sp.Q
     Ap = sp.A if (sp.A is None or not pad) else jnp.pad(
         sp.A, ((0, 0), (0, 0), (0, pad)))
-    factors = lin.factorize_kkt(Qp, rho0, Ap, mode=mode)
+    factors = lin.factorize_kkt(Qp, rho0, Ap, mode=mode,
+                                materialize_p=use_pallas,
+                                equilibrate=not config.scale)
     return BoxQPPrepared(Qs=sp.Q, As=sp.A, bs=sp.b, lbs=sp.lb, ubs=sp.ub,
                          D=sp.D, E=sp.E, rho0=rho0, factors=factors,
                          mode=mode)
@@ -300,14 +319,21 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
 
     def _q_of(f):
         """Constant GEMV offset q for (padded) factors."""
-        if f.P is not None:
-            _, q = lin.kkt_step_operator(f, bs)
+        op = lin.kkt_step_operator(f, bs)
+        if op is not None:
+            _, q = op
         else:
             q = jnp.zeros((B, n_pad), dtype)
         return q
 
     def factorize(rho):
-        f = lin.factorize_kkt(Qs_p, rho, As_p, mode=mode)
+        # equilibrate=False when the solver scaling already ran: Qs is
+        # Jacobi column-equilibrated, so the extra diag-rescale passes in
+        # spd_inverse_fast (4 full HBM sweeps of Q-sized arrays, ~5 ms at
+        # the flagship shape) buy no accuracy.
+        f = lin.factorize_kkt(Qs_p, rho, As_p, mode=mode,
+                              materialize_p=use_pallas,
+                              equilibrate=not config.scale)
         return f, _q_of(f)
 
     if factors_in is None:
@@ -316,7 +342,19 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         # Cached factors from prepare_box_qp; pad once if they were built
         # at the unpadded size (older prepare or changed config).
         f = factors_in
-        built_n = (f.P if f.P is not None else f.L).shape[-1]
+        if use_pallas and f.P is None:
+            # Prepared without a materialized P but the solve-time config
+            # wants the fused kernel's dense operator: build P from the
+            # cached pieces (one GEMM, no refactorization).
+            if f.W is not None:
+                f = f.replace(P=f.Hinv - jnp.einsum(
+                    "...im,...jm->...ij", f.WS, f.W,
+                    preferred_element_type=dtype))
+            else:
+                f = f.replace(P=f.Hinv)
+        dense0 = f.P if f.P is not None else (
+            f.Hinv if f.Hinv is not None else f.L)
+        built_n = dense0.shape[-1]
         if built_n != n_pad:
             f = _pad_factors(f, n_pad - built_n)
         factors0, q0 = f, _q_of(f)
@@ -333,8 +371,20 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
 
     def x_update(st_factors, q, r):
         if mode == "inverse":
-            return jnp.einsum("bij,bj->bi", st_factors.P, r,
-                              preferred_element_type=dtype) + q
+            if st_factors.P is not None:
+                return jnp.einsum("bij,bj->bi", st_factors.P, r,
+                                  preferred_element_type=dtype) + q
+            # Implicit P: one dense GEMV + two rank-n_eq corrections
+            # (x = Hinv r - WS (W^T r) + q) — same HBM traffic as a
+            # materialized P without ever building it.
+            y = jnp.einsum("bij,bj->bi", st_factors.Hinv, r,
+                           preferred_element_type=dtype)
+            if st_factors.W is not None:
+                wtr = jnp.einsum("bim,bi->bm", st_factors.W, r,
+                                 preferred_element_type=dtype)
+                y = y - jnp.einsum("bim,bm->bi", st_factors.WS, wtr,
+                                   preferred_element_type=dtype)
+            return y + q
         x, _ = lin.kkt_apply(st_factors, r, bs)
         return x
 
@@ -368,64 +418,26 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         # input; with traced arrays we flag it instead).
         pinf=(jnp.any(lbs > ubs, axis=-1)
               if config.detect_infeasibility else jnp.zeros((B,), bool)),
+        rho_pending=jnp.zeros((B,), bool),
+        trace=(jnp.full((int(config.residual_trace), 3), -1.0, dtype)
+               if config.residual_trace else None),
+        n_chk=(jnp.zeros((), jnp.int32)
+               if config.residual_trace else None),
         aa=anderson.aa_init(B, m_aa, 2 * n_pad, dtype) if m_aa else None,
     )
 
     eps_abs = max(float(config.eps_abs), 1e-12)
     eps_rel = max(float(config.eps_rel), 1e-12)
 
-    def maybe_update_rho(st: _LoopState):
-        """Reference adaptive-rho rule (solve_box_qp_admm_torch.py:237-256):
-        rho *= sqrt(primal_ratio / dual_ratio), masked per element, with an
-        on-device refactorization when any element moves outside the band.
-
-        On the reference's own TODO of a cheap diagonal-only update
-        (solve_box_qp_admm_torch.py:251): a rho change shifts the FULL
-        diagonal (rank-n perturbation), so no Woodbury/rank-k update of the
-        materialized inverse exists.  The refactorization here is the
-        sweep/Schur GEMM path (~20 ms at n=1000) inside this lax.cond, so
-        it is only paid on the rare iterations that actually update — the
-        create family typically triggers none, the hard family a handful.
-        """
+    def _rho_ratio(st: _LoopState):
+        """Reference adaptive-rho signal: sqrt(primal_ratio / dual_ratio)
+        from the residuals stored at the last check
+        (solve_box_qp_admm_torch.py:237-245)."""
         num = jnp.maximum(st.primal_error / st.tolp_norm, _ZERO_CLAMP)
         den = jnp.maximum(st.dual_error / st.told_norm, _ZERO_CLAMP)
-        ratio = jnp.sqrt(num / den)
-        tol = jnp.asarray(config.adaptive_rho_tol, dtype)
-        # Per-element update gate: an element only moves when ITS OWN
-        # primal/dual ratio is outside the band.  The reference rescales
-        # every non-converged element whenever any element trips
-        # (solve_box_qp_admm_torch.py:247-250), which destabilizes elements
-        # whose rho is already balanced — measured 31 -> 1191 iterations on
-        # the hard dz=500 set with frequent updates.
-        el_outside = (ratio > tol) | (ratio < 1.0 / tol)
-        upd_mask = st.do_rho_update & el_outside
-        window = ((st.it >= adaptive_interval)
-                  & (st.it < config.adaptive_rho_max_iter)
-                  & ((st.it % adaptive_interval) < cs))
-        pred = window & jnp.any(upd_mask)
+        return jnp.sqrt(num / den)
 
-        def do_update(_):
-            rho_new = jnp.where(upd_mask, st.rho * ratio, st.rho)
-            rho_new = jnp.clip(rho_new, config.rho_min, config.rho_max)
-            f, q = factorize(rho_new)
-            return rho_new, f, q
-
-        def no_update(_):
-            return st.rho, st.factors, st.q
-
-        rho, f, q = jax.lax.cond(pred, do_update, no_update, None)
-        st = st._replace(rho=rho, factors=f, q=q)
-        if st.aa is not None:
-            # A rho update changes the fixed-point map: force a history
-            # reset for the updated elements.
-            st = st._replace(aa=anderson.aa_reset_where(
-                st.aa, pred & upd_mask))
-        return st
-
-    def outer_body(st: _LoopState) -> _LoopState:
-        if config.adaptive_rho:
-            st = maybe_update_rho(st)
-
+    def check_block(st: _LoopState) -> _LoopState:
         # The first residual check happens after a single iteration (the
         # reference checks at i == 0); afterwards every ``cs`` iterations.
         n_inner = jnp.where(st.it == 0, 1, cs)
@@ -504,6 +516,16 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         else:
             xs_c, zs_c, us_c, zp_c = x, z, u, z_prev
 
+        # The equality duals implied by the current factored solve —
+        # needed by the Qx identity below and by the infeasibility
+        # certificate (n_eq-sized ops; W's padded rows are zero).
+        nu_s = None
+        if As is not None:
+            Wt_r = jnp.einsum("bim,bi->bm", st.factors.W, last_r,
+                              preferred_element_type=dtype)
+            nu_s = jnp.einsum("bmk,bk->bm", st.factors.Sinv, Wt_r - bs,
+                              preferred_element_type=dtype)
+
         # --- OSQP-style stopping test on unscaled residuals
         # (solve_box_qp_admm_torch.py:285-311).
         s_dual = st.rho[..., None] * (zs_c - zp_c)
@@ -512,8 +534,15 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         x_norm = _inf_norm(D * xs_c)
         z_norm = _inf_norm(D * zs_c)
         y_norm = _inf_norm(st.rho[..., None] * D * us_c)
-        Qx = jnp.einsum("bij,bj->bi", Qs, xs_c,
-                        preferred_element_type=dtype)
+        # Qx via the KKT identity instead of a (B, n, n) GEMV: the solve
+        # satisfies (Q + rho I) x + A^T nu = r, so
+        # Qx = r - rho x - A^T nu to the factorization's accuracy (~1e-6
+        # relative) — plenty for a tolerance NORMALIZER (Qx only enters
+        # told_norm), and it saves a full HBM pass over Q per check.
+        Qx = last_r[:, :n] - st.rho[..., None] * xs_c
+        if As is not None:
+            Qx = Qx - jnp.einsum("bmi,bm->bi", As, nu_s,
+                                 preferred_element_type=dtype)
         Qx_norm = _inf_norm(Qx / D)
 
         tolp_norm = jnp.maximum(jnp.maximum(x_norm, z_norm), _ZERO_CLAMP)
@@ -539,11 +568,6 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             du = us_c - st.u_chk
             dlam_us = st.rho[..., None] * du / D
             if As is not None:
-                nu_s = jnp.einsum(
-                    "bmk,bk->bm", st.factors.Sinv,
-                    jnp.einsum("bim,bi->bm", st.factors.W, last_r,
-                               preferred_element_type=dtype) - bs,
-                    preferred_element_type=dtype)
                 dnu = nu_s - st.nu_chk
                 cert = (jnp.einsum("bmi,bm->bi", As, dnu,
                                    preferred_element_type=dtype)
@@ -574,23 +598,92 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         do_rho_update = ((primal_error > jnp.maximum(tol_primal, thr))
                          | (dual_error > jnp.maximum(tol_dual, thr)))
 
-        if config.verbose:
-            jax.debug.print(
-                "iter={it}  primal={pe:.3e}  dual={de:.3e}",
-                it=st.it + n_inner,
-                pe=jnp.max(primal_error), de=jnp.max(dual_error))
-
-        return st._replace(
-            it=st.it + n_inner, x=x, z=z, u=u, last_r=last_r,
+        it_new = st.it + n_inner
+        trace, n_chk = st.trace, st.n_chk
+        if config.residual_trace:
+            K = int(config.residual_trace)
+            row = jnp.stack([it_new.astype(dtype),
+                             jnp.max(primal_error), jnp.max(dual_error)])
+            trace = jax.lax.dynamic_update_slice(
+                trace, row[None], (n_chk % K, jnp.zeros((), jnp.int32)))
+            n_chk = n_chk + 1
+        st = st._replace(
+            it=it_new, x=x, z=z, u=u, last_r=last_r,
             primal_error=primal_error, dual_error=dual_error,
             tolp_norm=tolp_norm, told_norm=told_norm,
             do_rho_update=do_rho_update, is_optimal=is_optimal,
-            u_chk=u_chk, nu_chk=nu_chk, pinf=pinf, aa=aa)
+            u_chk=u_chk, nu_chk=nu_chk, pinf=pinf, aa=aa,
+            trace=trace, n_chk=n_chk)
 
-    def cond(st: _LoopState):
-        return (st.it < max_iters) & ~jnp.all(st.is_optimal | st.pinf)
+        if config.adaptive_rho:
+            # Per-element update gate: an element only moves when ITS OWN
+            # primal/dual ratio is outside the band.  The reference
+            # rescales every non-converged element whenever any element
+            # trips (solve_box_qp_admm_torch.py:247-250), which
+            # destabilizes elements whose rho is already balanced —
+            # measured 31 -> 1191 iterations on the hard dz=500 set with
+            # frequent updates.  The pending mask makes the INNER while
+            # exit so the refactorization runs unconditionally in the
+            # outer loop body — a lax.cond here would copy the full
+            # (B, n, n) factors through its no-update branch at every
+            # check (~2.6 ms/check at the flagship shape, measured).
+            ratio = _rho_ratio(st)
+            tol_r = jnp.asarray(config.adaptive_rho_tol, dtype)
+            el_outside = (ratio > tol_r) | (ratio < 1.0 / tol_r)
+            window = ((it_new >= adaptive_interval)
+                      & (it_new < config.adaptive_rho_max_iter)
+                      & ((it_new % adaptive_interval) < cs))
+            st = st._replace(
+                rho_pending=window & do_rho_update & el_outside)
 
-    st = jax.lax.while_loop(cond, outer_body, init)
+        if config.verbose:
+            jax.debug.print(
+                "iter={it}  primal={pe:.3e}  dual={de:.3e}",
+                it=it_new,
+                pe=jnp.max(primal_error), de=jnp.max(dual_error))
+        return st
+
+    def inner_cond(st: _LoopState):
+        more = (st.it < max_iters) & ~jnp.all(st.is_optimal | st.pinf)
+        if config.adaptive_rho:
+            more = more & ~jnp.any(st.rho_pending)
+        return more
+
+    st = jax.lax.while_loop(inner_cond, check_block, init)
+
+    if config.adaptive_rho:
+        # Reference adaptive-rho rule (solve_box_qp_admm_torch.py:237-256):
+        # rho *= sqrt(primal_ratio / dual_ratio), masked per element.  On
+        # the reference's own TODO of a cheap diagonal-only update
+        # (solve_box_qp_admm_torch.py:251): a rho change shifts the FULL
+        # diagonal (rank-n perturbation), so no Woodbury/rank-k update of
+        # the factors exists — each genuine update pays one sweep/Schur
+        # refactorization (~25 ms at n=1000).  Two-level loop: the inner
+        # while exits when any element is pending, the outer body
+        # refactorizes UNCONDITIONALLY (it only runs when inner exited
+        # pending) and re-enters the inner loop — zero conditional-copy
+        # overhead on checks that do not update (the create family
+        # typically triggers none, the hard family a handful).
+        def outer_cond(st: _LoopState):
+            # True only when inner exited due to a pending rho update
+            # (otherwise it/convergence also terminate this loop).
+            return (st.it < max_iters) & ~jnp.all(st.is_optimal | st.pinf)
+
+        def outer_body(st: _LoopState) -> _LoopState:
+            pending = st.rho_pending
+            ratio = _rho_ratio(st)
+            rho_new = jnp.where(pending, st.rho * ratio, st.rho)
+            rho_new = jnp.clip(rho_new, config.rho_min, config.rho_max)
+            f, q = factorize(rho_new)
+            st = st._replace(rho=rho_new, factors=f, q=q,
+                             rho_pending=jnp.zeros((B,), bool))
+            if st.aa is not None:
+                # A rho update changes the fixed-point map: force a
+                # history reset for the updated elements.
+                st = st._replace(aa=anderson.aa_reset_where(st.aa, pending))
+            return jax.lax.while_loop(inner_cond, check_block, st)
+
+        st = jax.lax.while_loop(outer_cond, outer_body, st)
 
     # --- unscale and extract duals (solve_box_qp_admm_torch.py:316-327).
     nus = None
@@ -691,6 +784,14 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
     u = st.u / D
     lams = jnp.concatenate([lam_lo_s / D, lam_hi_s / D], axis=-1)
 
+    trace = None
+    if config.residual_trace:
+        # Un-rotate the ring so rows are chronological (oldest first); rows
+        # never written stay at iteration -1 (short solves).
+        K = int(config.residual_trace)
+        shift = jnp.where(st.n_chk <= K, 0, st.n_chk % K)
+        trace = jnp.roll(st.trace, -shift, axis=0)
+
     return BoxQPSolution(
         x=x, z=z, u=u, lams=lams, nus=nus, rho=st.rho,
         iterations=st.it,
@@ -698,6 +799,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         dual_residual=st.dual_error,
         converged=st.is_optimal,
         primal_infeasible=st.pinf,
+        residual_trace=trace,
     )
 
 

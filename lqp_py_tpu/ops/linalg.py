@@ -141,19 +141,22 @@ def _schur_inverse(H, ee, leaf=_sweep_leaf):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def spd_inverse_fast(H, precision: str = "highest"):
+def spd_inverse_fast(H, precision: str = "highest", equilibrate: bool = True):
     """SPD inverse of (B, n, n).  On TPU: Schur recursion + Pallas sweep
     leaves; elsewhere falls back to the Cholesky path.  ``n`` is padded to a
     multiple of 128 with an identity block (exact: the inverse of
     blockdiag(H, I) is blockdiag(H^-1, I)).
 
-    The input is Jacobi-equilibrated first (``H' = D H D`` with
-    ``D = diag(H)^-1/2``, so diag(H') = 1) and the result unscaled as
-    ``H^-1 = D H'^-1 D``.  Without this, matrices with extreme diagonal
-    dynamic range — e.g. the interior-point Schur complement
-    ``Rt + diag(1/d)`` whose diagonal spans ~1e8 near convergence — lose
-    all accuracy in a fixed-order f32 sweep (observed as NaNs in the
-    OptNet solver)."""
+    With ``equilibrate=True`` the input is Jacobi-equilibrated first
+    (``H' = D H D`` with ``D = diag(H)^-1/2``, so diag(H') = 1) and the
+    result unscaled as ``H^-1 = D H'^-1 D``.  Without this, matrices with
+    extreme diagonal dynamic range — e.g. the interior-point Schur
+    complement ``Rt + diag(1/d)`` whose diagonal spans ~1e8 near
+    convergence — lose all accuracy in a fixed-order f32 sweep (observed
+    as NaNs in the OptNet solver).  Callers whose operand is already
+    equilibrated (the box-QP solver Jacobi-scales Q before adding rho I)
+    pass ``equilibrate=False`` and skip four full (B, n, n) HBM passes
+    (~5 ms at the flagship shape)."""
     if _FORCE_LAX:
         # GSPMD tensor-parallel path: Schur recursion (partitionable
         # einsums) with Cholesky leaves instead of the Mosaic sweep.
@@ -167,9 +170,13 @@ def spd_inverse_fast(H, precision: str = "highest"):
     import functools
     ee = functools.partial(jnp.einsum, precision=precision,
                            preferred_element_type=H.dtype)
-    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
-    d = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))           # (B, n)
-    Hs = H * d[..., :, None] * d[..., None, :]
+    if equilibrate:
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+        d = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))       # (B, n)
+        Hs = H * d[..., :, None] * d[..., None, :]
+    else:
+        d = None
+        Hs = H
     n = H.shape[-1]
     n_pad = -(-n // _LEAF) * _LEAF
     pad = n_pad - n
@@ -181,6 +188,8 @@ def spd_inverse_fast(H, precision: str = "highest"):
         Hi = _schur_inverse(Hp, ee, leaf)[:, :n, :n]
     else:
         Hi = _schur_inverse(Hs, ee, leaf)
+    if d is None:
+        return Hi
     return Hi * d[..., :, None] * d[..., None, :]
 
 
@@ -188,15 +197,27 @@ def spd_inverse_fast(H, precision: str = "highest"):
 class KKTFactors:
     """Factorization state of the reduced KKT operator.
 
-    ``P`` is the materialized reduced inverse in 'inverse' mode, else None.
+    'inverse' mode keeps the Schur reduction IMPLICIT by default:
+    ``Hinv = (Q + rho I)^-1`` plus the low-rank pieces ``W = H^-1 A^T``,
+    ``WS = W S^-1`` and ``Sinv = (A H^-1 A^T)^-1`` — the reduced inverse
+    ``P = Hinv - WS W^T`` is applied as one (B, n, n) GEMV plus two
+    rank-``n_eq`` corrections (n_eq is tiny in this workload), which is
+    the same per-iteration HBM traffic as a materialized ``P`` without
+    ever building the extra (B, n, n) operand (~2 ms + 0.5 GB at the
+    flagship shape).  ``P`` is materialized only on request
+    (``materialize_p=True`` — the Pallas fused step consumes a single
+    dense operator).
+
     ``L`` is chol(H) in 'cholesky' mode, else None.
-    ``W = H^-1 A^T`` and ``Sinv = (A H^-1 A^T)^-1`` are None when n_eq == 0.
+    ``W``/``WS``/``Sinv`` are None when n_eq == 0.
     """
 
     P: Optional[jax.Array]
     L: Optional[jax.Array]
     W: Optional[jax.Array]
     Sinv: Optional[jax.Array]
+    Hinv: Optional[jax.Array] = None
+    WS: Optional[jax.Array] = None
 
 
 def _schur_solve_rec(H, R, ee, leaf=_sweep_leaf):
@@ -228,11 +249,16 @@ def _schur_solve_rec(H, R, ee, leaf=_sweep_leaf):
     return jnp.concatenate([X1, X2], axis=-2)
 
 
-def spd_solve_fast(H, R):
+def spd_solve_fast(H, R, equilibrate: bool = True):
     """Solve ``H X = R`` for SPD (B, n, n) H and (B, n, k) R.  On TPU f32:
     Jacobi-equilibrated Schur-recursion solve with sweep leaves (cheaper
     than materializing H^-1 when k << n, e.g. the one-shot backward-pass
-    solve); elsewhere a Cholesky solve."""
+    solve); elsewhere a Cholesky solve.
+
+    ``equilibrate=False`` skips the internal diag-rescale passes — pass it
+    when the operand is already (approximately) unit-diagonal; callers that
+    build H elementwise can fuse the equilibration into the build for free
+    (see box_qp_grad_fixed_point)."""
     if _FORCE_LAX:
         leaf = spd_inverse
     elif jax.default_backend() != "tpu" or H.dtype != jnp.float32:
@@ -242,10 +268,14 @@ def spd_solve_fast(H, R):
     import functools
     ee = functools.partial(jnp.einsum, precision="highest",
                            preferred_element_type=H.dtype)
-    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
-    d = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))         # (B, n)
-    Hs = H * d[..., :, None] * d[..., None, :]
-    Rs = R * d[..., :, None]
+    if equilibrate:
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+        d = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))     # (B, n)
+        Hs = H * d[..., :, None] * d[..., None, :]
+        Rs = R * d[..., :, None]
+    else:
+        d = None
+        Hs, Rs = H, R
     n = H.shape[-1]
     n_pad = -(-n // _LEAF) * _LEAF
     pad = n_pad - n
@@ -259,11 +289,14 @@ def spd_solve_fast(H, R):
         X = _schur_solve_rec(Hp, Rp, ee, leaf)[:, :n, :]
     else:
         X = _schur_solve_rec(Hs, Rs, ee, leaf)
+    if d is None:
+        return X
     return X * d[..., :, None]
 
 
 def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
-                  s_reg: float = 0.0) -> KKTFactors:
+                  s_reg: float = 0.0, materialize_p: bool = False,
+                  equilibrate: bool = True) -> KKTFactors:
     """Factorize ``M = [[Q + rho I, A^T], [A, 0]]`` (batched).
 
     Q:   (B, n, n) SPD
@@ -271,6 +304,10 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
     A:   (B, m, n) or None
     s_reg: optional Tikhonov regularizer added to the Schur complement
       (used by the backward pass where masked A rows can lose rank).
+    materialize_p: build the dense reduced inverse ``P`` (needed only by
+      consumers of a single dense operator, e.g. the Pallas fused step).
+    equilibrate: passed to ``spd_inverse_fast`` — pass False when Q is
+      already Jacobi-equilibrated (the solver scaling path).
     """
     rho = jnp.asarray(rho, dtype=Q.dtype)
     rho_diag = jnp.broadcast_to(rho[..., None, None] if rho.ndim == 1 else rho,
@@ -281,9 +318,10 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
         # Materialized-inverse mode never needs a triangular factor:
         # H^-1 comes from the Schur/sweep fast path (Cholesky-free), and
         # the Schur-complement pieces are plain GEMMs against it.
-        Hinv = spd_inverse_fast(H)
+        Hinv = spd_inverse_fast(H, equilibrate=equilibrate)
         if A is None:
-            return KKTFactors(P=Hinv, L=None, W=None, Sinv=None)
+            return KKTFactors(P=Hinv if materialize_p else None, L=None,
+                              W=None, Sinv=None, Hinv=Hinv)
         At = jnp.swapaxes(A, -1, -2)
         W = jnp.einsum("...ij,...jk->...ik", Hinv, At,
                        preferred_element_type=Q.dtype)   # (B, n, m)
@@ -294,9 +332,12 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
         Sinv = spd_inverse(S)
         WS = jnp.einsum("...im,...mk->...ik", W, Sinv,
                         preferred_element_type=Q.dtype)
-        P = Hinv - jnp.einsum("...im,...jm->...ij", WS, W,
-                              preferred_element_type=Q.dtype)
-        return KKTFactors(P=P, L=None, W=W, Sinv=Sinv)
+        if materialize_p:
+            P = Hinv - jnp.einsum("...im,...jm->...ij", WS, W,
+                                  preferred_element_type=Q.dtype)
+            return KKTFactors(P=P, L=None, W=W, Sinv=Sinv, Hinv=Hinv,
+                              WS=WS)
+        return KKTFactors(P=None, L=None, W=W, Sinv=Sinv, Hinv=Hinv, WS=WS)
 
     L = lax_linalg.cholesky(H)
     if A is None:
@@ -316,9 +357,10 @@ def kkt_apply(f: KKTFactors, r, b) -> Tuple[jax.Array, Optional[jax.Array]]:
 
     r: (B, n); b: (B, m) or None.  Returns (x, nu).
     """
+    dense = f.P if f.P is not None else f.Hinv
     if f.W is None:
-        if f.P is not None:
-            x = jnp.einsum("...ij,...j->...i", f.P, r,
+        if dense is not None:
+            x = jnp.einsum("...ij,...j->...i", dense, r,
                            preferred_element_type=r.dtype)
         else:
             x = chol_solve(f.L, r)
@@ -336,6 +378,12 @@ def kkt_apply(f: KKTFactors, r, b) -> Tuple[jax.Array, Optional[jax.Array]]:
                         preferred_element_type=r.dtype)
              + jnp.einsum("...im,...m->...i", f.W, Sb,
                           preferred_element_type=r.dtype))
+    elif f.Hinv is not None:
+        # Implicit P: x = Hinv r - W nu (one dense GEMV + rank-m pieces).
+        y = jnp.einsum("...ij,...j->...i", f.Hinv, r,
+                       preferred_element_type=r.dtype)
+        x = y - jnp.einsum("...im,...m->...i", f.W, nu,
+                           preferred_element_type=r.dtype)
     else:
         y = chol_solve(f.L, r)
         x = y - jnp.einsum("...im,...m->...i", f.W, nu,
@@ -344,22 +392,26 @@ def kkt_apply(f: KKTFactors, r, b) -> Tuple[jax.Array, Optional[jax.Array]]:
 
 
 def kkt_step_operator(f: KKTFactors, b):
-    """Precompute ``(P_eff, q)`` so the hot-loop solve is ``x = P_eff r + q``.
+    """Precompute ``(P_eff, q)`` so the hot-loop solve is
+    ``x = P_eff r - WS (W^T r) + q`` (the middle term drops when P is
+    materialized or n_eq == 0).
 
     In 'inverse' mode with equality constraints, ``q = W Sinv b`` is constant
-    across iterations, so the per-iteration work collapses to one GEMV.
+    across iterations, so the per-iteration work collapses to one dense
+    GEMV plus two rank-``n_eq`` corrections.
     Returns (P_eff, q) or None if not in inverse mode.
     """
-    if f.P is None:
+    dense = f.P if f.P is not None else f.Hinv
+    if dense is None:
         return None
     if f.W is None or b is None:
-        q = jnp.zeros(f.P.shape[:-1], dtype=f.P.dtype)
+        q = jnp.zeros(dense.shape[:-1], dtype=dense.dtype)
     else:
         Sb = jnp.einsum("...mk,...k->...m", f.Sinv, b,
-                        preferred_element_type=f.P.dtype)
+                        preferred_element_type=dense.dtype)
         q = jnp.einsum("...im,...m->...i", f.W, Sb,
-                       preferred_element_type=f.P.dtype)
-    return f.P, q
+                       preferred_element_type=dense.dtype)
+    return dense, q
 
 
 # ---------------------------------------------------------------------------

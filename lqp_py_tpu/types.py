@@ -39,6 +39,12 @@ class BoxQPSolution:
     #: functional; Banjac et al. 2019).  The reference has no infeasibility
     #: reporting at all; SCS's eps_infeas is the closest analogue.
     primal_infeasible: Optional[jax.Array] = None
+    #: (K, 3) ring buffer of ``[iteration, max primal, max dual]`` rows —
+    #: the last K residual checks (config.residual_trace = K > 0), rows not
+    #: yet written hold iteration -1.  Mid-solve observability that works
+    #: on platforms without host callbacks (the reference's verbose prints,
+    #: solve_box_qp_admm_torch.py:289-294, need the host).  None when off.
+    residual_trace: Optional[jax.Array] = None
 
 
 @struct.dataclass

@@ -400,3 +400,42 @@ def test_negative_acceleration_rejected_at_construction():
     for ctor in (BoxQPConfig, GenQPConfig):
         with pytest.raises(ValueError, match="type-I"):
             ctor(acceleration=-5)
+
+
+def test_residual_trace_ring_buffer():
+    """config.residual_trace=K carries a (K, 3) [iter, max primal, max dual]
+    ring buffer through the while loop — TPU-safe mid-solve observability
+    (round-3 verdict #9); rows are chronological after un-rotation and the
+    last row matches the solution's final residual maxima."""
+    import jax
+
+    from lqp_py_tpu import BoxQPConfig
+    from lqp_py_tpu.models.box_qp import solve_box_qp
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    data = create_qp_data(24, 4, seed=11, dtype=jnp.float64)
+    cfg = BoxQPConfig(eps_abs=1e-7, eps_rel=1e-7, residual_trace=8)
+    sol = jax.jit(lambda *a: solve_box_qp(*a, config=cfg))(
+        data.Q, data.p, data.A, data.b, data.lb, data.ub)
+    tr = np.asarray(sol.residual_trace)
+    assert tr.shape == (8, 3)
+    valid = tr[tr[:, 0] >= 0]
+    assert len(valid) >= 2, "expected at least two residual checks"
+    assert (np.diff(valid[:, 0]) > 0).all(), "rows must be chronological"
+    last = valid[-1]
+    np.testing.assert_allclose(last[1], float(jnp.max(sol.primal_residual)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(last[2], float(jnp.max(sol.dual_residual)),
+                               rtol=1e-6)
+    assert float(last[0]) == float(sol.iterations)
+    # Residuals decrease over the trace (monotone on this easy family).
+    assert valid[-1][1] <= valid[0][1]
+
+    # Ring wrap: a tiny buffer keeps the LAST checks.
+    cfg2 = BoxQPConfig(eps_abs=1e-7, eps_rel=1e-7, residual_trace=2)
+    sol2 = solve_box_qp(data.Q, data.p, data.A, data.b, data.lb, data.ub,
+                        config=cfg2)
+    tr2 = np.asarray(sol2.residual_trace)
+    assert tr2.shape == (2, 3)
+    assert float(tr2[-1][0]) == float(sol2.iterations)
+    assert (np.diff(tr2[:, 0]) > 0).all()
