@@ -116,6 +116,40 @@ def _sweep_leaf(H):
     return sweep_spd_inverse(H)
 
 
+#: Below this size the batch-major Gauss-Jordan beats the 128-padded sweep
+#: leaf: a (B, n, n) inverse at n <= 64 otherwise pads to a full 128x128
+#: sweep (12.8x the pivots at n=10).  64 keeps the (n, n, B) working set
+#: ~2 MB at B=128 (HBM-traffic parity with the sweep leaf).
+_GJ_MAX = 64
+
+
+def _gj_inverse_small(H):
+    """Batch-major SPD inverse for small n: transpose to (n, n, B) so the
+    BATCH fills the TPU lane dimension, then run the same symmetric sweep
+    recurrence as the Pallas leaf (ops/pallas/spd_inverse.py) as plain XLA
+    ops — every pivot step is a fully-vectorized rank-1 pass whose inner
+    dimension is B, not n, so tiny matrices stop paying 128-lane padding.
+    SPD input => every pivot is positive, no pivoting needed."""
+    B, n, _ = H.shape
+    dtype = H.dtype
+    X = jnp.moveaxis(H, 0, -1)                       # (n, n, B)
+    iota = jnp.arange(n)
+
+    def step(k, X):
+        onehot = (iota == k).astype(dtype)[:, None]  # (n, 1)
+        row = jax.lax.dynamic_slice_in_dim(X, k, 1, axis=0)[0]  # (n, B)
+        d = jnp.sum(row * onehot, axis=0)            # (B,)
+        u = row - onehot                             # (n, B)
+        v = u / d
+        X = X - u[:, None, :] * v[None, :, :]
+        # Pivot correction (sweep: A[k,k] -> -1/d needs an extra -2 after
+        # the rank-1 update; see the Pallas kernel derivation).
+        return X - 2.0 * (onehot[:, None, :] * onehot[None, :, :])
+
+    X = jax.lax.fori_loop(0, n, step, X)
+    return -jnp.moveaxis(X, -1, 0)
+
+
 def _schur_inverse(H, ee, leaf=_sweep_leaf):
     """Recursive SPD inverse; H is (B, n, n) with n a multiple of _LEAF.
 
@@ -178,16 +212,20 @@ def spd_inverse_fast(H, precision: str = "highest", equilibrate: bool = True):
         d = None
         Hs = H
     n = H.shape[-1]
-    n_pad = -(-n // _LEAF) * _LEAF
-    pad = n_pad - n
-    if pad:
-        B = H.shape[0]
-        Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
-        Hp = Hp.at[:, :n, :n].set(Hs)
-        Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
-        Hi = _schur_inverse(Hp, ee, leaf)[:, :n, :n]
+    if n <= _GJ_MAX and leaf is _sweep_leaf:
+        # Small-n fast path: batch-major Gauss-Jordan, no 128-padding.
+        Hi = _gj_inverse_small(Hs)
     else:
-        Hi = _schur_inverse(Hs, ee, leaf)
+        n_pad = -(-n // _LEAF) * _LEAF
+        pad = n_pad - n
+        if pad:
+            B = H.shape[0]
+            Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
+            Hp = Hp.at[:, :n, :n].set(Hs)
+            Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
+            Hi = _schur_inverse(Hp, ee, leaf)[:, :n, :n]
+        else:
+            Hi = _schur_inverse(Hs, ee, leaf)
     if d is None:
         return Hi
     return Hi * d[..., :, None] * d[..., None, :]
@@ -277,18 +315,22 @@ def spd_solve_fast(H, R, equilibrate: bool = True):
         d = None
         Hs, Rs = H, R
     n = H.shape[-1]
-    n_pad = -(-n // _LEAF) * _LEAF
-    pad = n_pad - n
-    if pad:
-        B, k = H.shape[0], R.shape[-1]
-        Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
-        Hp = Hp.at[:, :n, :n].set(Hs)
-        Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
-        Rp = jnp.zeros((B, n_pad, k), R.dtype)
-        Rp = Rp.at[:, :n, :].set(Rs)
-        X = _schur_solve_rec(Hp, Rp, ee, leaf)[:, :n, :]
+    if n <= _GJ_MAX and leaf is _sweep_leaf:
+        Hi = _gj_inverse_small(Hs)
+        X = ee("...ij,...jk->...ik", Hi, Rs)
     else:
-        X = _schur_solve_rec(Hs, Rs, ee, leaf)
+        n_pad = -(-n // _LEAF) * _LEAF
+        pad = n_pad - n
+        if pad:
+            B, k = H.shape[0], R.shape[-1]
+            Hp = jnp.zeros((B, n_pad, n_pad), H.dtype)
+            Hp = Hp.at[:, :n, :n].set(Hs)
+            Hp = Hp.at[:, n:, n:].set(jnp.eye(pad, dtype=H.dtype))
+            Rp = jnp.zeros((B, n_pad, k), R.dtype)
+            Rp = Rp.at[:, :n, :].set(Rs)
+            X = _schur_solve_rec(Hp, Rp, ee, leaf)[:, :n, :]
+        else:
+            X = _schur_solve_rec(Hs, Rs, ee, leaf)
     if d is None:
         return X
     return X * d[..., :, None]
