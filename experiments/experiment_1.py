@@ -134,7 +134,11 @@ def time_split(fwd_fn, tot_fn, data_for_seed, n_sims):
     def ci(ts):
         return 1.96 * statistics.pstdev(ts) / len(ts) ** 0.5
 
-    return {"fwd": med(fwd_ts), "bwd": med(tot_ts) - med(fwd_ts),
+    # bwd is a DERIVED quantity (total - fwd medians): when the true
+    # backward cost is below the per-call dispatch noise the difference
+    # can come out negative, which is meaningless as a duration — clamp
+    # at 0 (round-3 advisor finding); `total` remains the measured number.
+    return {"fwd": med(fwd_ts), "bwd": max(med(tot_ts) - med(fwd_ts), 0.0),
             "total": med(tot_ts),
             "fwd_ci": ci(fwd_ts), "total_ci": ci(tot_ts)}
 

@@ -95,32 +95,50 @@ def run_size(n_x, n_batch, tol, n_sims):
     out["_aa10_iters"] = int(aasol.iterations)
     out["_aa10_n_converged"] = int(jnp.sum(aasol.converged))
 
+    # Convergence gate for the no-adapt ablation (the timed config above).
+    na_sol = jax.jit(lambda *a: solve_box_qp(
+        *a, BoxQPConfig(eps_abs=tol, eps_rel=tol, adaptive_rho=False)))(
+        Q, p, A, b, lb, ub)
+    _force(na_sol.x)
+    out["_noadapt_iters"] = int(na_sol.iterations)
+    out["_noadapt_n_converged"] = int(jnp.sum(na_sol.converged))
+
     # --- GenQP on the same problems (G = [-I; I]): per-element
-    # adaptive-rho gate ablation (gated vs reference rescale-all).
+    # adaptive-rho gate ablation (gated vs reference rescale-all), plus
+    # forward WALL-CLOCK for the gated and Anderson-accelerated configs
+    # (round-3 verdict #4: AA must show a wall-clock column, not just an
+    # iteration count).
     from lqp_py_tpu import GenQPConfig
     from lqp_py_tpu.models.genqp import solve_qp_gen
     G, h = data.with_G_h()
-    for name, gcfg in {
-        "GenQP_gated": GenQPConfig(eps_abs=tol, eps_rel=tol,
-                                   adaptive_rho_per_element=True),
-        "GenQP_rescale_all": GenQPConfig(eps_abs=tol, eps_rel=tol,
-                                         adaptive_rho_per_element=False),
+    for name, gcfg, timed in (
+        ("GenQP_gated", GenQPConfig(eps_abs=tol, eps_rel=tol,
+                                    adaptive_rho_per_element=True), True),
+        ("GenQP_rescale_all",
+         GenQPConfig(eps_abs=tol, eps_rel=tol,
+                     adaptive_rho_per_element=False), False),
         # Safeguarded Anderson acceleration (SCS acceleration_lookback
         # capability) — measured 2-5x fewer iterations on this set.
-        "GenQP_aa10": GenQPConfig(eps_abs=tol, eps_rel=tol,
-                                  acceleration=10),
-    }.items():
-        gsol = jax.jit(lambda Q, p, A, b, G, h, gcfg=gcfg: solve_qp_gen(
-            Q, p, A, b, G, h, config=gcfg))(Q, p, A, b, G, h)
+        ("GenQP_aa10", GenQPConfig(eps_abs=tol, eps_rel=tol,
+                                   acceleration=10), True),
+    ):
+        gf = jax.jit(lambda Q, p, A, b, G, h, gcfg=gcfg: solve_qp_gen(
+            Q, p, A, b, G, h, config=gcfg))
+        gsol = gf(Q, p, A, b, G, h)
         _force(gsol.x)
         out[f"_{name}_iters"] = int(gsol.iterations)
         out[f"_{name}_n_converged"] = int(jnp.sum(gsol.converged))
+        if timed:
+            out[name] = time_fn(
+                jax.jit(lambda *a, gf=gf: gf(*a).x), Q, p, A, b, G, h,
+                n_sims=n_sims)
     return out
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", type=int, nargs="*", default=[50, 100, 250])
+    ap.add_argument("--sizes", type=int, nargs="*",
+                    default=[50, 100, 250, 500])
     ap.add_argument("--n-batch", type=int, default=128)
     ap.add_argument("--tol", type=float, default=1e-5)
     ap.add_argument("--n-sims", type=int, default=5)

@@ -50,10 +50,28 @@ def _penalty_weight(dtype):
     # per outer pass), and a LOWER w is strictly safer: the AL update's
     # rounding noise is w*eps*|constraint scale| — at 1e6 in f32 that is
     # ~0.12, which swamped a genuinely negative multiplier read (-0.0097)
-    # and let a wrongly-pinned point through the sign test.  1e4/1e6 keep
-    # the noise at ~1e-3 (f32) / 2e-10 (f64) while three outer passes
-    # drive the bias to machine scale.
-    return jnp.asarray(1e4 if dtype == jnp.float32 else 1e6, dtype)
+    # and let a wrongly-pinned point through the sign test.  1e3/1e6 keep
+    # the noise at ~1e-4 (f32) / 2e-10 (f64) while three outer passes
+    # drive the pin bias to machine scale (AL contraction ratio is
+    # ~sigma/w ~ 2e-3 per pass on equilibrated problems, so stiffness is
+    # not needed from w itself).
+    return jnp.asarray(1e3 if dtype == jnp.float32 else 1e6, dtype)
+
+
+def al_lam_threshold(dtype):
+    """Sign-test threshold for AL-ESTIMATED multipliers (gen_penalty_polish
+    only — box_penalty_polish reads multipliers off the stationarity
+    identity, which is exact to ~eps).
+
+    The accumulation ``l += w (Gx - h)`` carries absolute rounding noise
+    ~w * eps per outer pass, so testing ``lam >= -eps_abs`` rejects (or
+    releases) on pure noise in f32 (measured: lam reads of -2e-3 at w=1e4
+    on correctly-pinned rows).  A wrongly-pinned row whose TRUE multiplier
+    is below this floor displaces x by only ~|lam| / sigma(Q), i.e. under
+    ~1e-3 on equilibrated data — within the polish's accuracy target — so
+    accepting such rows is safe."""
+    w = 1e3 if dtype == jnp.float32 else 1e6
+    return 4.0 * w * float(jnp.finfo(dtype).eps)
 
 
 def box_penalty_polish(Q, p, A, b, lb, ub, act_lo, act_hi,
@@ -63,8 +81,10 @@ def box_penalty_polish(Q, p, A, b, lb, ub, act_lo, act_hi,
 
     ``lb``/``ub`` may be infinite OFF the active sets (the inactive
     contribution is masked out before any multiply, so no 0 * inf NaNs).
-    Refinement corrects through ``Hinv`` only — callers that pass ``A``
-    must include the equality residual in their acceptance test.
+    Refinement corrects through the FULL reduced KKT system (Hinv + the
+    A-Schur pieces), so the polished point satisfies ``Ax = b`` to solve
+    precision — an Hinv-only correction left an ~4e-5 equality drift in
+    f32 that made acceptance tests reject otherwise-excellent points.
     """
     dtype = Q.dtype
     w = _penalty_weight(dtype)
@@ -97,19 +117,25 @@ def box_penalty_polish(Q, p, A, b, lb, ub, act_lo, act_hi,
         rhs = -p + w_lo * lb_act + w_hi * ub_act + l_lo - l_hi
         if A is None:
             x, y = _mv(Hinv, rhs), None
-            rhs0 = -p + l_lo - l_hi
         else:
             t = _mv(Hinv, rhs)
             y = _mv(Sinv, _mv(A, t) - b)
             x = t - _mv(W, y)
-            rhs0 = -p + l_lo - l_hi - _mtv(A, y)
-        # Two passes: the raw Hinv solve carries a residual of
-        # ~cond(H)*eps*||rhs|| with ||rhs|| ~ w, i.e. O(1) absolute; each
-        # pass contracts it by cond(H)*eps, so two reach ~eps absolute.
+        # Two full-KKT refinement passes: the raw solve carries a residual
+        # of ~cond(H)*eps*||rhs|| with ||rhs|| ~ w, i.e. O(1) absolute;
+        # each pass contracts it by cond(H)*eps, so two reach ~eps
+        # absolute — in BOTH the stationarity and the equality rows.
         for _ in range(2):
-            resid = rhs0 - _mv(Q, x) - (w_lo * (x - lb_act)
-                                        + w_hi * (x - ub_act))
-            x = x + _mv(Hinv, resid)
+            resid_x = rhs - _mv(Q, x) - (w_lo + w_hi) * x
+            if A is None:
+                x = x + _mv(Hinv, resid_x)
+            else:
+                resid_x = resid_x - _mtv(A, y)
+                resid_b = b - _mv(A, x)
+                t = _mv(Hinv, resid_x)
+                dy = _mv(Sinv, _mv(A, t) - resid_b)
+                x = x + t - _mv(W, dy)
+                y = y + dy
         l_lo = l_lo + w_lo * (lb_act - x)
         l_hi = l_hi + w_hi * (x - ub_act)
 
@@ -176,14 +202,22 @@ def gen_penalty_polish(Q, p, A, b, G, h, act,
         rhs = -p + gl
         if A is None:
             x, y = _mv(Hinv, rhs), None
-            rhs0 = -p - _mtv(G, jnp.where(act, l, zero))
         else:
             t = _mv(Hinv, rhs)
             y = _mv(Sinv, _mv(A, t) - b)
             x = t - _mv(W, y)
-            rhs0 = -p - _mtv(G, jnp.where(act, l, zero)) - _mtv(A, y)
+        # Full-KKT refinement (stationarity AND equality rows; see
+        # box_penalty_polish — Hinv-only correction drifts off Ax = b).
         for _ in range(2):
-            resid = rhs0 - _mv(Q, x) - _mtv(G, wa * (_mv(G, x) - h_act))
-            x = x + _mv(Hinv, resid)
+            resid_x = rhs - _mv(Q, x) - _mtv(G, wa * _mv(G, x))
+            if A is None:
+                x = x + _mv(Hinv, resid_x)
+            else:
+                resid_x = resid_x - _mtv(A, y)
+                resid_b = b - _mv(A, x)
+                t = _mv(Hinv, resid_x)
+                dy = _mv(Sinv, _mv(A, t) - resid_b)
+                x = x + t - _mv(W, dy)
+                y = y + dy
         l = l + wa * (_mv(G, x) - h_act)
     return GenPolishResult(x=x, y=y, lam=jnp.where(act, l, zero))

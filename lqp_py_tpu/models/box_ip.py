@@ -250,25 +250,51 @@ def solve_box_qp_ip(Q, p, A=None, b=None, lb=None, ub=None,
         # models/_polish.py): H = Q + diag(w), all elementwise except the
         # factorization.
         from lqp_py_tpu.models._polish import box_penalty_polish
-        pol = box_penalty_polish(Q, p, A, b, lb, ub,
-                                 act_lo=st.z_lo > st.s_lo,
-                                 act_hi=st.z_hi > st.s_hi)
-        x_pol, y_pol = pol.x, pol.y
-        viol_ip = jnp.max(jnp.maximum(lb - st.x, st.x - ub), axis=-1)
-        viol_pol = jnp.max(jnp.maximum(lb - x_pol, x_pol - ub), axis=-1)
-        if A is not None:
+
+        def _viol(xv):
             # Refinement corrects through Hinv only (not the full KKT), so
             # dx need not satisfy A dx = 0: include the equality residual
             # in the acceptance test (see models/optnet.py polish).
-            viol_ip = jnp.maximum(
-                viol_ip, jnp.max(jnp.abs(_mv(A, st.x) - b), axis=-1))
-            viol_pol = jnp.maximum(
-                viol_pol, jnp.max(jnp.abs(_mv(A, x_pol) - b), axis=-1))
+            v = jnp.max(jnp.maximum(lb - xv, xv - ub), axis=-1)
+            if A is not None:
+                v = jnp.maximum(v, jnp.max(jnp.abs(_mv(A, xv) - b),
+                                           axis=-1))
+            return v
+
         thr = eps_abs + eps_rel * jnp.maximum(lb_norm, ub_norm)
-        ok = viol_pol <= jnp.maximum(viol_ip, thr)
-        x_fin = jnp.where(ok[..., None], x_pol, st.x)
-        if y_pol is not None:
-            y_fin = jnp.where(ok[..., None], y_pol, st.y)
+        viol_ip = _viol(st.x)
+        # Classify against slacks RECOMPUTED from x, not the IP's internal
+        # slack variables: s drifts from (x - lb) by the primal residual
+        # (~tol), which flips exactly the weakly active bounds the polish
+        # exists to fix (measured: the internal-s guess left 1-2 wrong
+        # bounds per element at n=500 f32; the x-implied guess left 0).
+        act_lo = st.z_lo > (st.x - lb)
+        act_hi = st.z_hi > (ub - st.x)
+        pol = box_penalty_polish(Q, p, A, b, lb, ub,
+                                 act_lo=act_lo, act_hi=act_hi)
+        # Round 2: repair the active-set guess (see models/optnet.py —
+        # weakly active bounds have s ~ z ~ sqrt(mu) at the stopping point,
+        # and the misclassified ones are what leaves sqrt(tol) error):
+        # release bounds whose multiplier read came back negative, add
+        # bounds the round-1 point violates.
+        thr_c = thr[..., None]
+        act_lo2 = (act_lo & (pol.lam_lo >= -thr_c)) | (lb - pol.x > thr_c)
+        act_hi2 = (act_hi & (pol.lam_hi >= -thr_c)) | (pol.x - ub > thr_c)
+        pol2 = box_penalty_polish(Q, p, A, b, lb, ub,
+                                  act_lo=act_lo2, act_hi=act_hi2)
+
+        def _ok(pr):
+            lam_min = jnp.min(jnp.minimum(pr.lam_lo, pr.lam_hi), axis=-1)
+            return ((_viol(pr.x) <= jnp.maximum(viol_ip, thr))
+                    & (lam_min >= -thr))
+
+        ok2 = _ok(pol2)
+        ok1 = _ok(pol) & ~ok2
+        x_fin = jnp.where(ok2[..., None], pol2.x,
+                          jnp.where(ok1[..., None], pol.x, st.x))
+        if pol.y is not None:
+            y_fin = jnp.where(ok2[..., None], pol2.y,
+                              jnp.where(ok1[..., None], pol.y, st.y))
 
     lams = jnp.concatenate([jnp.maximum(st.z_lo, 1e-8),
                             jnp.maximum(st.z_hi, 1e-8)], axis=-1)

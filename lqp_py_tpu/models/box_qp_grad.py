@@ -29,7 +29,8 @@ def _outer(a, b):
     return jnp.einsum("...i,...j->...ij", a, b)
 
 
-def reduced_kkt_solve(H, A, r, reg, equilibrate: bool = True):
+def reduced_kkt_solve(H, A, r, reg, equilibrate: bool = True,
+                      precision: str = "highest"):
     """Solve ``[[H, A^T], [A, 0]] [dv; dnu] = [r; 0]`` for SPD H through
     the sweep/Schur solve-only fast path (ops/linalg.py spd_solve_fast):
     on TPU this avoids both the lax Cholesky's sequential column recurrence
@@ -42,12 +43,14 @@ def reduced_kkt_solve(H, A, r, reg, equilibrate: bool = True):
     from lqp_py_tpu.ops import linalg as lin
     dtype = r.dtype
     if A is None:
-        return lin.spd_solve_fast(H, r[..., None],
-                                  equilibrate=equilibrate)[..., 0], None
+        return lin.spd_solve_fast(
+            H, r[..., None], equilibrate=equilibrate,
+            precision=precision)[..., 0], None
     m = A.shape[-2]
     At = jnp.swapaxes(A, -1, -2)
     R = jnp.concatenate([r[..., None], At], axis=-1)
-    X = lin.spd_solve_fast(H, R, equilibrate=equilibrate)  # (B, n, 1+m)
+    X = lin.spd_solve_fast(H, R, equilibrate=equilibrate,
+                           precision=precision)  # (B, n, 1+m)
     x0 = X[..., 0]
     W = X[..., 1:]                                      # H^-1 A^T
     S = jnp.einsum("...mi,...ik->...mk", A, W,
@@ -70,7 +73,8 @@ def _matvec(M, v):
 
 @solver_precision
 def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
-                            reg: float = 1e-8):
+                            reg: float = 1e-8,
+                            solve_precision: str = "high"):
     """Fixed-point implicit VJP.  All arrays in squeezed (B, n)/(B, m) layout,
     unscaled (as saved by the layer).  ``rho`` is (B,).
 
@@ -115,8 +119,13 @@ def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
           + eye_n * (1.0 - m_eq * m_eq * diag_q)[..., None, :])
     A_s = None if A is None else A * m_eq[..., None, :]
 
+    # Default "high" (bf16x3) recursion GEMMs: the gradient solve's ~7e-6
+    # relative residual is far below what gradient consumers resolve, and
+    # the 3-pass MXU lowering halves the one-shot solve's FLOP bill
+    # (measured at the flagship shape; see spd_solve_fast docstring).
     w, dnu_ = reduced_kkt_solve(Hs, A_s, -s_eq * dl_dx, reg,
-                                equilibrate=False)
+                                equilibrate=False,
+                                precision=solve_precision)
     dv = s_eq * w
     if A is not None:
         d = jnp.concatenate([dv, dnu_], axis=-1)

@@ -486,8 +486,13 @@ def _solve_gen_scaled(config, prep: GenQPPrepared, ps, p_norm,
 
         # A negative AL multiplier on an active row means the guess was
         # wrong for that element; inactive rows are exactly 0 in pol.lam.
+        # The sign test floors at the AL accumulation's w*eps noise
+        # (models/_polish.py al_lam_threshold) — meaningless below it.
+        from lqp_py_tpu.models._polish import al_lam_threshold
+        thr_lam = jnp.maximum(thr, jnp.asarray(al_lam_threshold(dtype),
+                                               dtype))
         ok = ((_viol(pol.x) <= jnp.maximum(_viol(st.x), thr))
-              & (jnp.min(pol.lam, axis=-1) >= -thr) & ~st.pinf)
+              & (jnp.min(pol.lam, axis=-1) >= -thr_lam) & ~st.pinf)
         okc = ok[..., None]
         xs = jnp.where(okc, pol.x, xs)
         lam_hat = jnp.where(okc, jnp.maximum(pol.lam, 0.0), lam_hat)

@@ -461,30 +461,60 @@ def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
         # no int_reg — Q is SPD on its own; penalty residuals computed as
         # w * (Gx - h) FIRST to avoid f32 cancellation; AL multiplier
         # updates kill the lam/w bias the pure-penalty version left).
-        from lqp_py_tpu.models._polish import gen_penalty_polish
-        pol = gen_penalty_polish(Q, p, A, b, G, h, act=st.z > st.s)
-        x_pol, y_pol = pol.x, pol.y
-        viol_ip = jnp.max(jnp.maximum(_mv(G, st.x) - h, 0.0), axis=-1)
-        viol_pol = jnp.max(jnp.maximum(_mv(G, x_pol) - h, 0.0), axis=-1)
-        if A is not None:
+        from lqp_py_tpu.models._polish import (al_lam_threshold,
+                                               gen_penalty_polish)
+
+        def _viol(xv):
             # The refinement residual is built from H = Q + G'WG only, so
             # the correction dx is not tangent to {A dx = 0}: fold the
             # equality residual into the acceptance test or a polished
             # iterate can drift off A x = b yet still be accepted.
-            viol_ip = jnp.maximum(
-                viol_ip, jnp.max(jnp.abs(_mv(A, st.x) - b), axis=-1))
-            viol_pol = jnp.maximum(
-                viol_pol, jnp.max(jnp.abs(_mv(A, x_pol) - b), axis=-1))
-        # Accept only if feasibility did not regress AND the AL multiplier
-        # read is nonnegative (a negative read means the z > s active-set
-        # guess was wrong for that element — same test as the splitting
-        # solvers').
+            v = jnp.max(jnp.maximum(_mv(G, xv) - h, 0.0), axis=-1)
+            if A is not None:
+                v = jnp.maximum(v, jnp.max(jnp.abs(_mv(A, xv) - b),
+                                           axis=-1))
+            return v
+
         thr_acc = eps_abs + eps_rel * h_norm
-        ok = ((viol_pol <= jnp.maximum(viol_ip, thr_acc))
-              & (jnp.min(pol.lam, axis=-1) >= -thr_acc))
-        x_fin = jnp.where(ok[..., None], x_pol, st.x)
-        if y_pol is not None:
-            y_fin = jnp.where(ok[..., None], y_pol, st.y)
+        viol_ip = _viol(st.x)
+        # Classify against slacks RECOMPUTED from x (h - Gx), not the IP's
+        # internal slack variables: s drifts from h - Gx by the primal
+        # residual (~tol), which flips exactly the weakly active rows the
+        # polish exists to fix (see models/box_ip.py).
+        act = st.z > (h - _mv(G, st.x))
+        pol = gen_penalty_polish(Q, p, A, b, G, h, act=act)
+        # Round 2: repair the active-set guess per element.  Weakly active
+        # constraints have s_i ~ z_i ~ sqrt(mu) at the IP's stopping point,
+        # so the z > s guess misclassifies a few rows — exactly the rows
+        # responsible for the sqrt(tol) solution error the polish exists to
+        # remove (measured at n=500 f32: 1-2 wrong rows leave dev ~4.5e-3
+        # and round 1 gets REJECTED).  Release rows whose AL multiplier
+        # came back negative (pinned but shouldn't be) and add rows the
+        # round-1 point violates (should have been pinned); one repair
+        # round recovers ~1e-6 dev for those elements.
+        # AL-estimated multiplier signs are only meaningful above the
+        # accumulation's w*eps noise floor (models/_polish.py
+        # al_lam_threshold) — a tolerance-scale threshold releases/rejects
+        # on pure noise in f32.
+        thr_lam = jnp.maximum(thr_acc, al_lam_threshold(dtype))
+        viol_rows = (_mv(G, pol.x) - h) > thr_acc[..., None]
+        act2 = (act & (pol.lam >= -thr_lam[..., None])) | viol_rows
+        pol2 = gen_penalty_polish(Q, p, A, b, G, h, act=act2)
+
+        # Accept only if feasibility did not regress AND the AL multiplier
+        # read is nonnegative (a negative read means the active-set guess
+        # was still wrong for that element); prefer the repaired round.
+        def _ok(pr):
+            return ((_viol(pr.x) <= jnp.maximum(viol_ip, thr_acc))
+                    & (jnp.min(pr.lam, axis=-1) >= -thr_lam))
+
+        ok2 = _ok(pol2)
+        ok1 = _ok(pol) & ~ok2
+        x_fin = jnp.where(ok2[..., None], pol2.x,
+                          jnp.where(ok1[..., None], pol.x, st.x))
+        if pol.y is not None:
+            y_fin = jnp.where(ok2[..., None], pol2.y,
+                              jnp.where(ok1[..., None], pol.y, st.y))
 
     lams = jnp.maximum(st.z, 1e-8)
     slacks = jnp.maximum(h - _mv(G, x_fin), 1e-8)

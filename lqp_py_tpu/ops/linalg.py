@@ -287,7 +287,8 @@ def _schur_solve_rec(H, R, ee, leaf=_sweep_leaf):
     return jnp.concatenate([X1, X2], axis=-2)
 
 
-def spd_solve_fast(H, R, equilibrate: bool = True):
+def spd_solve_fast(H, R, equilibrate: bool = True,
+                   precision: str = "highest"):
     """Solve ``H X = R`` for SPD (B, n, n) H and (B, n, k) R.  On TPU f32:
     Jacobi-equilibrated Schur-recursion solve with sweep leaves (cheaper
     than materializing H^-1 when k << n, e.g. the one-shot backward-pass
@@ -296,7 +297,13 @@ def spd_solve_fast(H, R, equilibrate: bool = True):
     ``equilibrate=False`` skips the internal diag-rescale passes — pass it
     when the operand is already (approximately) unit-diagonal; callers that
     build H elementwise can fuse the equilibration into the build for free
-    (see box_qp_grad_fixed_point)."""
+    (see box_qp_grad_fixed_point).
+
+    ``precision`` controls the recursion GEMMs: "highest" (6-pass bf16,
+    f32-exact, solve residual ~2e-6 relative) for forward factorizations
+    that feed 1e-5-tolerance residual checks; "high" (3-pass bf16, ~2x
+    faster on the MXU, residual ~7e-6 relative) is enough for GRADIENT
+    solves, whose consumers tolerate 1e-4-class relative error."""
     if _FORCE_LAX:
         leaf = spd_inverse
     elif jax.default_backend() != "tpu" or H.dtype != jnp.float32:
@@ -304,7 +311,7 @@ def spd_solve_fast(H, R, equilibrate: bool = True):
     else:
         leaf = _sweep_leaf
     import functools
-    ee = functools.partial(jnp.einsum, precision="highest",
+    ee = functools.partial(jnp.einsum, precision=precision,
                            preferred_element_type=H.dtype)
     if equilibrate:
         diag = jnp.diagonal(H, axis1=-2, axis2=-1)

@@ -181,7 +181,8 @@ def test_prepared_factors_sliced_when_built_larger():
     # must slice them back down and agree exactly with the direct path.
     n_pad, _ = bq._padded_n(cfg, 30, prep.mode)
     big = bq._pad_factors(prep.factors, 64)
-    built = (big.P if big.P is not None else big.L).shape[-1]
+    dense = next(m for m in (big.P, big.Hinv, big.L) if m is not None)
+    built = dense.shape[-1]
     assert built > n_pad
     prep_big = prep.replace(factors=big)
     direct = solve_box_qp(*data, config=cfg)
