@@ -77,8 +77,13 @@ class _LoopState(NamedTuple):
     aa: "Optional[anderson.AAState]" = None
 
 
-def _prep(Q, p, A, b, lb, ub, config):
-    """Canonicalize shapes, compute the unscaled p-norm, scale, pick rho."""
+def _prep(Q, p, A, b, lb, ub, config, pad: int = 0):
+    """Canonicalize shapes, compute the unscaled p-norm, scale, pick rho.
+
+    With ``pad > 0`` the returned ``sp.Q`` (and ``sp.A``'s columns) come
+    back already lane-padded — the scale and the pad fuse into one HBM
+    pass (ops/scaling.py ``_scale_pad_q``), saving a full (B, n, n)
+    round-trip vs scaling then padding."""
     # Q is semantically symmetric; symmetrize defensively so the solver's
     # output — and therefore every gradient (implicit and unrolled) — is a
     # well-defined function on the symmetric manifold.
@@ -103,9 +108,10 @@ def _prep(Q, p, A, b, lb, ub, config):
     p_norm = _inf_norm(p)
 
     if config.scale:
-        sp = sca.scale_problem(Q, p, A, b, lb, ub, beta=config.beta)
+        sp = sca.scale_problem(Q, p, A, b, lb, ub, beta=config.beta,
+                               pad=pad)
     else:
-        sp = sca.identity_scaling(Q, p, A, b, lb, ub)
+        sp = sca.identity_scaling(Q, p, A, b, lb, ub, pad=pad)
 
     # rho selection: ||Q'||_F / sqrt(n) per element, clamped
     # (solve_box_qp_admm_torch.py:200-203).  Forced to zero when there is no
@@ -113,7 +119,9 @@ def _prep(Q, p, A, b, lb, ub, config):
     # identity and ADMM converges in one iteration
     # (solve_box_qp_admm_torch.py:156-158).
     if config.rho is None:
-        q_fro = jnp.sqrt(jnp.sum(sp.Q * sp.Q, axis=(-1, -2)))
+        # The identity pad block contributes exactly ``pad`` to sum(Q^2).
+        q_fro = jnp.sqrt(jnp.maximum(
+            jnp.sum(sp.Q * sp.Q, axis=(-1, -2)) - pad, 0.0))
         rho = jnp.clip(config.rho_scale * q_fro
                        / jnp.sqrt(jnp.asarray(n, dtype)),
                        config.rho_min, config.rho_max)
@@ -140,10 +148,13 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     class hints at but never implements (it always cold-starts from zeros,
     solve_box_qp_admm_torch.py:221-223).
     """
-    sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config)
+    # Scale AND pad in one fused pass: _prep returns Q (and A's columns)
+    # already at the lane-aligned size _solve_scaled factorizes at.
+    nv = as_vector(p, "p").shape[-1]
+    n_pad, _ = _padded_n(config, nv, _mode(config))
+    sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config,
+                                            pad=n_pad - nv)
     Qs, ps, As, bs, lbs, ubs, D, E = sp
-    # factors_in=None: _solve_scaled factorizes at the lane-padded size
-    # directly (no pad/slice copies around the factorization).
     return _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
                          p_norm, rho0, None, warm_start)
 
@@ -250,16 +261,15 @@ def prepare_box_qp(Q, A=None, b=None, lb=None, ub=None,
     """Precompute everything that does not depend on ``p``: scaling,
     auto-rho, and the KKT factorization."""
     p0 = jnp.zeros(jnp.asarray(Q).shape[:-1], jnp.asarray(Q).dtype)
-    sp, _p_norm, rho0, (_B, n, _dtype) = _prep(Q, p0, A, b, lb, ub, config)
     mode = _mode(config)
-    # Factorize at the lane-aligned size _solve_scaled will use, so the
-    # cached factors are consumed without a per-solve pad copy.
+    # Scale and pad in one fused pass at the lane-aligned size
+    # _solve_scaled will use, so the cached factors AND the cached scaled
+    # operands are consumed without any per-solve pad copy.
+    n = p0.shape[-1]
     n_pad, use_pallas = _padded_n(config, n, mode)
-    pad = n_pad - n
-    Qp = _pad_identity(sp.Q, pad) if pad else sp.Q
-    Ap = sp.A if (sp.A is None or not pad) else jnp.pad(
-        sp.A, ((0, 0), (0, 0), (0, pad)))
-    factors = lin.factorize_kkt(Qp, rho0, Ap, mode=mode,
+    sp, _p_norm, rho0, (_B, n, _dtype) = _prep(Q, p0, A, b, lb, ub, config,
+                                               pad=n_pad - n)
+    factors = lin.factorize_kkt(sp.Q, rho0, sp.A, mode=mode,
                                 materialize_p=use_pallas,
                                 equilibrate=not config.scale)
     return BoxQPPrepared(Qs=sp.Q, As=sp.A, bs=sp.b, lbs=sp.lb, ubs=sp.ub,
@@ -303,6 +313,9 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
     # refactorization inside the loop produces an already-padded P.
     # Padded coordinates are inert: p = 0, bounds +/-inf, zero initial
     # state => r_pad = 0 and x, z, u stay exactly 0 there by induction.
+    # ``Qs``/``As`` may arrive already padded (solve_box_qp fuses the
+    # scale and the pad into one pass; prepare_box_qp caches padded
+    # operands) — only the (B, n) vectors are padded here (cheap).
     n_pad, use_pallas = _padded_n(config, n, mode)
     pad = n_pad - n
     if pad:
@@ -311,11 +324,26 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
                         constant_values=-jnp.inf)
         ubs_p = jnp.pad(ubs, ((0, 0), (0, pad)),
                         constant_values=jnp.inf)
-        Qs_p = _pad_identity(Qs, pad)
-        As_p = None if As is None else jnp.pad(As,
-                                               ((0, 0), (0, 0), (0, pad)))
     else:
-        ps_p, lbs_p, ubs_p, Qs_p, As_p = ps, lbs, ubs, Qs, As
+        ps_p, lbs_p, ubs_p = ps, lbs, ubs
+    built_q = Qs.shape[-1]
+    if built_q == n_pad:
+        Qs_p, As_p = Qs, As
+    elif built_q == n:
+        Qs_p = _pad_identity(Qs, pad) if pad else Qs
+        As_p = None if As is None else (
+            jnp.pad(As, ((0, 0), (0, 0), (0, pad))) if pad else As)
+    else:
+        # Prepared at a different alignment (e.g. pallas 256 vs plain
+        # 128): the identity-padded block decouples exactly — slice.
+        assert built_q > n_pad, (built_q, n_pad)
+        Qs_p = Qs[:, :n_pad, :n_pad]
+        As_p = None if As is None else As[:, :, :n_pad]
+    # Unpadded views for the residual checks / certificates / polish
+    # (the padded block decouples exactly; XLA fuses the slice into the
+    # consuming n-sized ops).
+    Qs_u = Qs if Qs.shape[-1] == n else Qs[:, :n, :n]
+    As_u = As if (As is None or As.shape[-1] == n) else As[:, :, :n]
 
     def _q_of(f):
         """Constant GEMV offset q for (padded) factors."""
@@ -541,7 +569,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         # told_norm), and it saves a full HBM pass over Q per check.
         Qx = last_r[:, :n] - st.rho[..., None] * xs_c
         if As is not None:
-            Qx = Qx - jnp.einsum("bmi,bm->bi", As, nu_s,
+            Qx = Qx - jnp.einsum("bmi,bm->bi", As_u, nu_s,
                                  preferred_element_type=dtype)
         Qx_norm = _inf_norm(Qx / D)
 
@@ -569,7 +597,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             dlam_us = st.rho[..., None] * du / D
             if As is not None:
                 dnu = nu_s - st.nu_chk
-                cert = (jnp.einsum("bmi,bm->bi", As, dnu,
+                cert = (jnp.einsum("bmi,bm->bi", As_u, dnu,
                                    preferred_element_type=dtype)
                         + st.rho[..., None] * du) / D
                 dual_scale = jnp.maximum(_inf_norm(dlam_us),
@@ -748,7 +776,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             act_lo = (st.u < 0) & (zs - lbs <= prox)
             act_hi = (st.u > 0) & (ubs - zs <= prox)
             lbs_pol, ubs_pol = lbs, ubs
-        pol = box_penalty_polish(Qs, ps, As, bs, lbs_pol, ubs_pol,
+        pol = box_penalty_polish(Qs_u, ps, As_u, bs, lbs_pol, ubs_pol,
                                  act_lo, act_hi)
         thr = jnp.asarray(config.eps_abs, dtype)
 
@@ -757,7 +785,7 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             v_hi = jnp.where(jnp.isfinite(ubs), xv - ubs, -jnp.inf)
             v = jnp.max(jnp.maximum(v_lo, v_hi), axis=-1)
             if As is not None:
-                eq = jnp.einsum("bmi,bi->bm", As, xv,
+                eq = jnp.einsum("bmi,bi->bm", As_u, xv,
                                 preferred_element_type=dtype) - bs
                 v = jnp.maximum(v, jnp.max(jnp.abs(eq), axis=-1))
             return v

@@ -37,8 +37,35 @@ def _safe_colnorm(norms):
     return jnp.where(norms <= 0.0, jnp.broadcast_to(fill, norms.shape), norms)
 
 
-def scale_problem(Q, p, A, b, lb, ub, beta=None) -> ScaledProblem:
-    """Compute and apply the scaling.  All inputs in (B, n)/(B, m) layout."""
+def _scale_pad_q(Q, D, pad):
+    """One fused pass producing the scaled AND lane-padded operand
+    ``blockdiag(D Q D, I_pad)``.
+
+    Written as pad -> elementwise so XLA fuses it into a single loop over
+    the padded output (one read of Q, one padded write) instead of the
+    scale-then-copy two-pass sequence — saves a full (B, n, n) HBM
+    round-trip per solve (~1.1 ms at the flagship shape)."""
+    if pad == 0:
+        return D[..., :, None] * Q * D[..., None, :]
+    n = Q.shape[-1]
+    dtype = Q.dtype
+    Qp = jnp.pad(Q, ((0, 0), (0, pad), (0, pad)))
+    Dp = jnp.pad(D, ((0, 0), (0, pad)), constant_values=1.0)
+    idx = jnp.arange(n + pad)
+    tail_eye = ((idx[:, None] == idx[None, :]) & (idx[:, None] >= n)
+                ).astype(dtype)
+    return Dp[..., :, None] * Qp * Dp[..., None, :] + tail_eye
+
+
+def scale_problem(Q, p, A, b, lb, ub, beta=None, pad: int = 0
+                  ) -> ScaledProblem:
+    """Compute and apply the scaling.  All inputs in (B, n)/(B, m) layout.
+
+    With ``pad > 0`` the returned ``Q`` is the scaled operand padded to
+    ``n + pad`` with an identity block (the lane-aligned factorization
+    operand — see ``_scale_pad_q``), and ``A`` gains ``pad`` zero columns;
+    all (B, n)-shaped outputs stay unpadded (padding them is cheap at the
+    consumer)."""
     # --- D from column inf-norms of Q, blended toward its mean by beta.
     Q_norm = jnp.max(jnp.abs(Q), axis=-2)            # (B, n) column inf-norms
     Q_norm = _safe_colnorm(Q_norm)
@@ -53,7 +80,7 @@ def scale_problem(Q, p, A, b, lb, ub, beta=None) -> ScaledProblem:
         beta_v = jnp.asarray(beta, dtype=D.dtype)
     D = (1.0 - beta_v) * D + beta_v * jnp.mean(D, axis=-1, keepdims=True)
 
-    Qs = D[..., :, None] * Q * D[..., None, :]
+    Qs = _scale_pad_q(Q, D, pad)
     ps = D * p
 
     As = None
@@ -65,6 +92,8 @@ def scale_problem(Q, p, A, b, lb, ub, beta=None) -> ScaledProblem:
         A_norm = _safe_colnorm(A_norm)
         E = 1.0 / A_norm
         As = E[..., :, None] * AD
+        if pad:
+            As = jnp.pad(As, ((0, 0), (0, 0), (0, pad)))
         bs = E * b
 
     # Division by D keeps +/-inf bounds infinite (D > 0).
@@ -73,7 +102,11 @@ def scale_problem(Q, p, A, b, lb, ub, beta=None) -> ScaledProblem:
     return ScaledProblem(Q=Qs, p=ps, A=As, b=bs, lb=lbs, ub=ubs, D=D, E=E)
 
 
-def identity_scaling(Q, p, A, b, lb, ub) -> ScaledProblem:
+def identity_scaling(Q, p, A, b, lb, ub, pad: int = 0) -> ScaledProblem:
     D = jnp.ones_like(p)
     E = None if A is None else jnp.ones_like(b)
-    return ScaledProblem(Q=Q, p=p, A=A, b=b, lb=lb, ub=ub, D=D, E=E)
+    Qp = _scale_pad_q(Q, D, pad) if pad else Q
+    Ap = A
+    if A is not None and pad:
+        Ap = jnp.pad(A, ((0, 0), (0, 0), (0, pad)))
+    return ScaledProblem(Q=Qp, p=p, A=Ap, b=b, lb=lb, ub=ub, D=D, E=E)

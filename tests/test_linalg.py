@@ -118,3 +118,18 @@ def test_gj_inverse_small_matches_cholesky():
     R = jnp.einsum("bij,bjk->bik", H, Hi,
                    precision="highest") - jnp.eye(32, dtype=jnp.float32)
     assert float(jnp.max(jnp.abs(R))) < 1e-4
+
+
+def test_block_sweep_inverse_matches_numpy_inverse():
+    """Whole-matrix VMEM block-sweep kernel (ops/pallas/block_inverse.py):
+    interpret-mode program == the TPU program; checked against numpy f64
+    at a multi-block size."""
+    from lqp_py_tpu.ops.pallas.block_inverse import block_spd_inverse
+    H = _spd(jax.random.PRNGKey(5), 3, 384, jnp.float32)
+    Hinv = block_spd_inverse(H, interpret=True)
+    ref = np.linalg.inv(np.asarray(H, np.float64))
+    np.testing.assert_allclose(np.asarray(Hinv), ref, rtol=2e-4, atol=2e-5)
+    # Residual form (scale-free): ||H Hinv - I||_inf small.
+    R = np.einsum("bij,bjk->bik", np.asarray(H, np.float64),
+                  np.asarray(Hinv, np.float64)) - np.eye(384)
+    assert np.max(np.abs(R)) < 5e-5
