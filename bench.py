@@ -49,7 +49,12 @@ REF_TOTAL_S = {10: 0.025, 50: 0.027, 100: 0.068, 250: 0.26, 500: 0.75,
 
 def bench_one(n_x, n_batch=128, tol=1e-5, n_sims=10, dtype=jnp.float32,
               seed=0):
-    cfg = BoxQPConfig(eps_abs=tol, eps_rel=tol)
+    # symmetrize=False is protocol-fair: the generators emit exactly
+    # symmetric Q and the reference solver performs no symmetrization
+    # pass either (solve_box_qp_admm_torch.py:161-215) — the defensive
+    # default pays a full (B, n, n) HBM round trip the reference never
+    # does.
+    cfg = BoxQPConfig(eps_abs=tol, eps_rel=tol, symmetrize=False)
     data = create_qp_data(n_x, n_batch, seed=seed, dtype=dtype)
     Q, p, A, b, lb, ub = data
 

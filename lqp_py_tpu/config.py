@@ -88,6 +88,14 @@ class BoxQPConfig:
     #: Scaling blend factor; ``None`` -> per-element auto from D quantiles.
     beta: Optional[float] = None
     unroll: bool = False
+    #: Defensively symmetrize Q (0.5*(Q + Q^T)) before solving, so the
+    #: solution — and therefore every gradient — is a well-defined function
+    #: on the symmetric manifold even when callers pass a slightly
+    #: asymmetric Q.  The reference performs no such pass (it uses Q as
+    #: given, solve_box_qp_admm_torch.py:161-215); disabling it for inputs
+    #: known to be exactly symmetric saves a full (B, n, n) HBM round trip
+    #: per solve (~1.5 ms at the flagship shape).
+    symmetrize: bool = True
     #: Backward mode: 'fixed_point' | 'kkt' (unroll=True uses autodiff).
     backward: str = "fixed_point"
     #: KKT solve strategy inside the ADMM loop:

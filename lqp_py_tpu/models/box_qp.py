@@ -84,11 +84,12 @@ def _prep(Q, p, A, b, lb, ub, config, pad: int = 0):
     back already lane-padded — the scale and the pad fuse into one HBM
     pass (ops/scaling.py ``_scale_pad_q``), saving a full (B, n, n)
     round-trip vs scaling then padding."""
-    # Q is semantically symmetric; symmetrize defensively so the solver's
-    # output — and therefore every gradient (implicit and unrolled) — is a
-    # well-defined function on the symmetric manifold.
+    # Q is semantically symmetric; symmetrize defensively (opt-out knob) so
+    # the solver's output — and therefore every gradient (implicit and
+    # unrolled) — is a well-defined function on the symmetric manifold.
     Q = jnp.asarray(Q)
-    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
+    if config.symmetrize:
+        Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
     dtype = Q.dtype
     p = as_vector(p, "p").astype(dtype)
     A = None if A is None else jnp.asarray(A, dtype)
@@ -133,6 +134,50 @@ def _prep(Q, p, A, b, lb, ub, config, pad: int = 0):
     return sp, p_norm, rho, (B, n, dtype)
 
 
+def _prep_h(Q, p, A, b, lb, ub, config, pad: int = 0):
+    """Fused variant of ``_prep`` for the direct solve path: emits the
+    lane-padded factorization operand ``H = D Q D + rho I`` in a single
+    build pass (ops/scaling.py ``scale_problem_h``) instead of
+    materializing the scaled Q and shifting it later — two fewer
+    (B, n, n) HBM round trips per solve.  The auto-rho uses the vector
+    quadratic form ``||D Q D||_F = sqrt(d2'(Q∘Q)d2)``, numerically equal
+    to the reference's Frobenius norm of the scaled operand
+    (solve_box_qp_admm_torch.py:200-203)."""
+    Q = jnp.asarray(Q)
+    if config.symmetrize:
+        Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
+    dtype = Q.dtype
+    p = as_vector(p, "p").astype(dtype)
+    A = None if A is None else jnp.asarray(A, dtype)
+    b = None if b is None else as_vector(b, "b").astype(dtype)
+    B, n = p.shape
+    if lb is None:
+        lb = jnp.full((B, n), -jnp.inf, dtype)
+    else:
+        lb = as_vector(lb, "lb").astype(dtype)
+    if ub is None:
+        ub = jnp.full((B, n), jnp.inf, dtype)
+    else:
+        ub = as_vector(ub, "ub").astype(dtype)
+
+    p_norm = _inf_norm(p)
+    any_ineq = jnp.logical_or(jnp.max(lb) > -jnp.inf, jnp.min(ub) < jnp.inf)
+
+    def rho_fn(D, q_fro):
+        if config.rho is None:
+            r = jnp.clip(config.rho_scale * q_fro
+                         / jnp.sqrt(jnp.asarray(n, dtype)),
+                         config.rho_min, config.rho_max)
+        else:
+            r = jnp.full((B,), config.rho, dtype)
+        return jnp.where(any_ineq, r, jnp.zeros_like(r))
+
+    sph, rho = sca.scale_problem_h(Q, p, A, b, lb, ub, rho_fn,
+                                   beta=config.beta, pad=pad,
+                                   scale=config.scale)
+    return sph, p_norm, rho, (B, n, dtype)
+
+
 @solver_precision
 def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
                  config: BoxQPConfig = BoxQPConfig(),
@@ -148,15 +193,16 @@ def solve_box_qp(Q, p, A=None, b=None, lb=None, ub=None,
     class hints at but never implements (it always cold-starts from zeros,
     solve_box_qp_admm_torch.py:221-223).
     """
-    # Scale AND pad in one fused pass: _prep returns Q (and A's columns)
-    # already at the lane-aligned size _solve_scaled factorizes at.
+    # Scale, pad AND rho-shift in one fused pass: _prep_h returns the
+    # factorization operand H (and A's columns) already at the
+    # lane-aligned size _solve_scaled factorizes at.
     nv = as_vector(p, "p").shape[-1]
     n_pad, _ = _padded_n(config, nv, _mode(config))
-    sp, p_norm, rho0, (B, n, dtype) = _prep(Q, p, A, b, lb, ub, config,
-                                            pad=n_pad - nv)
-    Qs, ps, As, bs, lbs, ubs, D, E = sp
-    return _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
-                         p_norm, rho0, None, warm_start)
+    sph, p_norm, rho0, (B, n, dtype) = _prep_h(Q, p, A, b, lb, ub, config,
+                                               pad=n_pad - nv)
+    return _solve_scaled(config, None, sph.p, sph.A, sph.b, sph.lb, sph.ub,
+                         sph.D, sph.E, p_norm, rho0, None, warm_start,
+                         H0=sph.H)
 
 
 from flax import struct as _struct
@@ -296,8 +342,15 @@ def solve_box_qp_prepared(prep: BoxQPPrepared, p,
 
 
 def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
-                  p_norm, rho0, factors_in, warm_start) -> BoxQPSolution:
-    """The ADMM loop on an already-scaled, already-factorized problem."""
+                  p_norm, rho0, factors_in, warm_start,
+                  H0=None) -> BoxQPSolution:
+    """The ADMM loop on an already-scaled, already-factorized problem.
+
+    ``H0``: optional pre-built, lane-padded factorization operand
+    ``D Q D + rho0 I`` from the fused prep path (``_prep_h``).  When given,
+    ``Qs`` may be None — the scaled Q is reconstructed from H0 only where
+    actually needed (the polish path), and adaptive-rho refactorization
+    shifts H0's leading diagonal instead of rebuilding from Qs."""
     B, n = ps.shape
     dtype = ps.dtype
     cs = config.resolved_check_interval(n)
@@ -326,23 +379,30 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
                         constant_values=jnp.inf)
     else:
         ps_p, lbs_p, ubs_p = ps, lbs, ubs
-    built_q = Qs.shape[-1]
-    if built_q == n_pad:
-        Qs_p, As_p = Qs, As
-    elif built_q == n:
-        Qs_p = _pad_identity(Qs, pad) if pad else Qs
-        As_p = None if As is None else (
-            jnp.pad(As, ((0, 0), (0, 0), (0, pad))) if pad else As)
+    if H0 is not None:
+        assert H0.shape[-1] == n_pad, (H0.shape, n_pad)
+        Qs_p = None
+        As_p = As                     # scale_problem_h pads A's columns
+        # Scaled Q reconstructed lazily below, only for the polish path.
+        Qs_u = None
     else:
-        # Prepared at a different alignment (e.g. pallas 256 vs plain
-        # 128): the identity-padded block decouples exactly — slice.
-        assert built_q > n_pad, (built_q, n_pad)
-        Qs_p = Qs[:, :n_pad, :n_pad]
-        As_p = None if As is None else As[:, :, :n_pad]
-    # Unpadded views for the residual checks / certificates / polish
-    # (the padded block decouples exactly; XLA fuses the slice into the
-    # consuming n-sized ops).
-    Qs_u = Qs if Qs.shape[-1] == n else Qs[:, :n, :n]
+        built_q = Qs.shape[-1]
+        if built_q == n_pad:
+            Qs_p, As_p = Qs, As
+        elif built_q == n:
+            Qs_p = _pad_identity(Qs, pad) if pad else Qs
+            As_p = None if As is None else (
+                jnp.pad(As, ((0, 0), (0, 0), (0, pad))) if pad else As)
+        else:
+            # Prepared at a different alignment (e.g. pallas 256 vs plain
+            # 128): the identity-padded block decouples exactly — slice.
+            assert built_q > n_pad, (built_q, n_pad)
+            Qs_p = Qs[:, :n_pad, :n_pad]
+            As_p = None if As is None else As[:, :, :n_pad]
+        # Unpadded views for the residual checks / certificates / polish
+        # (the padded block decouples exactly; XLA fuses the slice into the
+        # consuming n-sized ops).
+        Qs_u = Qs if Qs.shape[-1] == n else Qs[:, :n, :n]
     As_u = As if (As is None or As.shape[-1] == n) else As[:, :, :n]
 
     def _q_of(f):
@@ -354,18 +414,43 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
             q = jnp.zeros((B, n_pad), dtype)
         return q
 
-    def factorize(rho):
-        # equilibrate=False when the solver scaling already ran: Qs is
-        # Jacobi column-equilibrated, so the extra diag-rescale passes in
-        # spd_inverse_fast (4 full HBM sweeps of Q-sized arrays, ~5 ms at
-        # the flagship shape) buy no accuracy.
-        f = lin.factorize_kkt(Qs_p, rho, As_p, mode=mode,
-                              materialize_p=use_pallas,
-                              equilibrate=not config.scale)
-        return f, _q_of(f)
+    if H0 is not None:
+        # Refactorization shifts H0's leading-n diagonal in place of a
+        # rebuild from Qs (which is not materialized on this path).  The
+        # pad block's identity diagonal is deliberately excluded: a
+        # downward rho move would otherwise push the decoupled pad pivots
+        # toward zero or negative.
+        idx_pad = jnp.arange(n_pad)
+        eye_upd = ((idx_pad[:, None] == idx_pad[None, :])
+                   & (idx_pad[:, None] < n)).astype(dtype)
+
+        def factorize(rho):
+            Hr = H0 + (rho - rho0)[:, None, None] * eye_upd
+            f = lin.factorize_kkt(Hr, None, As_p, mode=mode,
+                                  materialize_p=use_pallas,
+                                  equilibrate=not config.scale)
+            return f, _q_of(f)
+    else:
+        def factorize(rho):
+            # equilibrate=False when the solver scaling already ran: Qs is
+            # Jacobi column-equilibrated, so the extra diag-rescale passes
+            # in spd_inverse_fast (4 full HBM sweeps of Q-sized arrays,
+            # ~5 ms at the flagship shape) buy no accuracy.
+            f = lin.factorize_kkt(Qs_p, rho, As_p, mode=mode,
+                                  materialize_p=use_pallas,
+                                  equilibrate=not config.scale)
+            return f, _q_of(f)
 
     if factors_in is None:
-        factors0, q0 = factorize(rho0)
+        if H0 is not None:
+            # Initial factorization consumes H0 directly (no zero-shift
+            # elementwise pass).
+            factors0 = lin.factorize_kkt(H0, None, As_p, mode=mode,
+                                         materialize_p=use_pallas,
+                                         equilibrate=not config.scale)
+            q0 = _q_of(factors0)
+        else:
+            factors0, q0 = factorize(rho0)
     else:
         # Cached factors from prepare_box_qp; pad once if they were built
         # at the unpadded size (older prepare or changed config).
@@ -745,6 +830,11 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
         # (u is an affine combination), so the AA path detects off the
         # clipped z instead.
         from lqp_py_tpu.models._polish import box_penalty_polish
+        if Qs_u is None:
+            # Fused-H prep path: reconstruct the scaled Q only here (the
+            # one consumer that needs it), one elementwise pass.
+            Qs_u = (H0[:, :n, :n]
+                    - rho0[:, None, None] * jnp.eye(n, dtype=dtype))
         # Proximity at tolerance scale (the scaled problem is equilibrated,
         # so slacks are O(1)).
         prox = 10 * jnp.asarray(config.eps_abs + config.eps_rel, dtype)

@@ -110,23 +110,42 @@ def box_qp_grad_fixed_point(dl_dz, x, u, lams, nus, Q, A, lb, ub, rho,
     # full (B, n, n) HBM passes per backward (~3 ms at the flagship
     # shape).  Change of variables: dv = s w, A_s = A diag(dpi s),
     # r_s = s r; dnu is invariant.
-    eye_n = jnp.eye(n, dtype=dtype)
     diag_q = jnp.diagonal(Q, axis1=-2, axis2=-1)
     diag_h = dpi * dpi * diag_q + rho_col * (1.0 - dpi) + reg
     s_eq = jax.lax.rsqrt(jnp.maximum(diag_h, 1e-30))     # (B, n)
     m_eq = dpi * s_eq
-    Hs = (m_eq[..., :, None] * Q * m_eq[..., None, :]
-          + eye_n * (1.0 - m_eq * m_eq * diag_q)[..., None, :])
-    A_s = None if A is None else A * m_eq[..., None, :]
+
+    # Build the masked system DIRECTLY at the sweep-path lane alignment
+    # (TPU f32 only): padded coordinates get m = 0 and diag 1, i.e. an
+    # exactly decoupled identity block — the same inert-pad invariant as
+    # the forward solver — so spd_solve_fast sees n % 128 == 0 and skips
+    # its internal zero-fill + copy round trip (~1.5 ms at the flagship
+    # shape).  The pad fuses into the one elementwise build pass.
+    from lqp_py_tpu.ops import linalg as _lin
+    pad = 0
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        pad = -(-n // _lin._LEAF) * _lin._LEAF - n
+    if pad:
+        Qb = jnp.pad(Q, ((0, 0), (0, pad), (0, pad)))
+        m_b = jnp.pad(m_eq, ((0, 0), (0, pad)))
+        dq_b = jnp.pad(diag_q, ((0, 0), (0, pad)))
+        rhs_b = jnp.pad(-s_eq * dl_dx, ((0, 0), (0, pad)))
+        A_b = None if A is None else jnp.pad(A, ((0, 0), (0, 0), (0, pad)))
+    else:
+        Qb, m_b, dq_b, rhs_b, A_b = Q, m_eq, diag_q, -s_eq * dl_dx, A
+    eye_b = jnp.eye(n + pad, dtype=dtype)
+    Hs = (m_b[..., :, None] * Qb * m_b[..., None, :]
+          + eye_b * (1.0 - m_b * m_b * dq_b)[..., None, :])
+    A_s = None if A_b is None else A_b * m_b[..., None, :]
 
     # Default "high" (bf16x3) recursion GEMMs: the gradient solve's ~7e-6
     # relative residual is far below what gradient consumers resolve, and
     # the 3-pass MXU lowering halves the one-shot solve's FLOP bill
     # (measured at the flagship shape; see spd_solve_fast docstring).
-    w, dnu_ = reduced_kkt_solve(Hs, A_s, -s_eq * dl_dx, reg,
+    w, dnu_ = reduced_kkt_solve(Hs, A_s, rhs_b, reg,
                                 equilibrate=False,
                                 precision=solve_precision)
-    dv = s_eq * w
+    dv = s_eq * (w[:, :n] if pad else w)
     if A is not None:
         d = jnp.concatenate([dv, dnu_], axis=-1)
     else:

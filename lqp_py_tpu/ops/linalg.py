@@ -349,7 +349,9 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
     """Factorize ``M = [[Q + rho I, A^T], [A, 0]]`` (batched).
 
     Q:   (B, n, n) SPD
-    rho: (B,) or scalar — per-element ADMM penalty
+    rho: (B,) or scalar — per-element ADMM penalty.  ``None`` means Q is
+      ALREADY the shifted operand ``H`` (built fused with the scaling
+      pass, ops/scaling.py ``scale_problem_h``) — no diagonal add here.
     A:   (B, m, n) or None
     s_reg: optional Tikhonov regularizer added to the Schur complement
       (used by the backward pass where masked A rows can lose rank).
@@ -358,10 +360,14 @@ def factorize_kkt(Q, rho, A, *, mode: str = "inverse",
     equilibrate: passed to ``spd_inverse_fast`` — pass False when Q is
       already Jacobi-equilibrated (the solver scaling path).
     """
-    rho = jnp.asarray(rho, dtype=Q.dtype)
-    rho_diag = jnp.broadcast_to(rho[..., None, None] if rho.ndim == 1 else rho,
-                                Q.shape[:-2] + (1, 1))
-    H = Q + rho_diag * _eye_like(Q)
+    if rho is None:
+        H = Q
+    else:
+        rho = jnp.asarray(rho, dtype=Q.dtype)
+        rho_diag = jnp.broadcast_to(
+            rho[..., None, None] if rho.ndim == 1 else rho,
+            Q.shape[:-2] + (1, 1))
+        H = Q + rho_diag * _eye_like(Q)
 
     if mode == "inverse":
         # Materialized-inverse mode never needs a triangular factor:

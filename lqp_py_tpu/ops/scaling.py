@@ -102,6 +102,104 @@ def scale_problem(Q, p, A, b, lb, ub, beta=None, pad: int = 0
     return ScaledProblem(Q=Qs, p=ps, A=As, b=bs, lb=lbs, ub=ubs, D=D, E=E)
 
 
+def _scale_pad_q_rho(Q, D, pad, rho):
+    """One fused pass producing the scaled, lane-padded FACTORIZATION
+    operand ``blockdiag(D Q D, I_pad) + rho * blockdiag(I_n, 0)``.
+
+    Same single-HBM-pass fusion as ``_scale_pad_q`` with the ADMM diagonal
+    shift folded in: the solver's factorization consumes ``H = Q' + rho I``
+    directly, so building Q' and then H separately would cost an extra
+    full (B, n, n) round trip (~1.5 ms at the flagship shape).  The pad
+    block is exactly the identity (rho is NOT added there), which keeps
+    the padded coordinates' factor decoupled and lets refactorization
+    shift only the leading-block diagonal."""
+    n = Q.shape[-1]
+    dtype = Q.dtype
+    rho_d = rho[..., None]                          # (B, 1)
+    if pad == 0:
+        eye = jnp.eye(n, dtype=dtype)
+        return (D[..., :, None] * Q * D[..., None, :]
+                + rho_d[..., None] * eye)
+    Qp = jnp.pad(Q, ((0, 0), (0, pad), (0, pad)))
+    Dp = jnp.pad(D, ((0, 0), (0, pad)), constant_values=1.0)
+    idx = jnp.arange(n + pad)
+    is_diag = (idx[:, None] == idx[None, :])
+    tail_eye = (is_diag & (idx[:, None] >= n)).astype(dtype)
+    lead_eye = (is_diag & (idx[:, None] < n)).astype(dtype)
+    return (Dp[..., :, None] * Qp * Dp[..., None, :]
+            + rho_d[..., None] * lead_eye + tail_eye)
+
+
+class ScaledProblemH(NamedTuple):
+    """Scaled problem with the factorization operand H pre-built (the
+    scaled Q itself is NOT materialized — reconstruct as
+    ``H[:, :n, :n] - rho I`` if needed, e.g. by the polish path)."""
+    H: jnp.ndarray                  # (B, n+pad, n+pad) = D Q D + rho I (+pad)
+    p: jnp.ndarray
+    A: Optional[jnp.ndarray]
+    b: Optional[jnp.ndarray]
+    lb: jnp.ndarray
+    ub: jnp.ndarray
+    D: jnp.ndarray                  # (B, n)
+    E: Optional[jnp.ndarray]        # (B, m) or None
+
+
+def scale_problem_h(Q, p, A, b, lb, ub, rho, beta=None, pad: int = 0,
+                    scale: bool = True):
+    """Fused variant of ``scale_problem`` emitting ``H = D Q D + rho I``
+    (lane-padded) directly.
+
+    ``rho`` is a callable ``rho(D, q_fro) -> (B,)`` receiving the scaling
+    vector and the Frobenius norm of the SCALED Q (computed here as the
+    vector quadratic form ``sqrt(d2' (Q∘Q) d2)`` with ``d2 = D*D`` — one
+    fused reduction pass over Q instead of a pass over the materialized
+    scaled operand), so the auto-rho policy stays in the solver while the
+    build stays single-pass."""
+    if scale:
+        Q_norm = jnp.max(jnp.abs(Q), axis=-2)
+        Q_norm = _safe_colnorm(Q_norm)
+        D = jnp.sqrt(1.0 / Q_norm)
+        if beta is None:
+            q = jnp.quantile(D, jnp.array([0.10, 0.90], dtype=D.dtype),
+                             axis=-1)
+            beta_v = (1.0 - q[0] / q[1])[..., None]
+        else:
+            beta_v = jnp.asarray(beta, dtype=D.dtype)
+        D = (1.0 - beta_v) * D + beta_v * jnp.mean(D, axis=-1, keepdims=True)
+    else:
+        D = jnp.ones_like(p)
+
+    d2 = D * D
+    # ||D Q D||_F without materializing D Q D: one reduction pass over Q.
+    q_fro = jnp.sqrt(jnp.maximum(
+        jnp.einsum("bi,bij,bij,bj->b", d2, Q, Q, d2), 0.0))
+    rho_v = rho(D, q_fro)
+
+    H = _scale_pad_q_rho(Q, D, pad, rho_v)
+    ps = D * p
+
+    As = None
+    bs = None
+    E = None
+    if A is not None:
+        AD = A * D[..., None, :]
+        if scale:
+            A_norm = jnp.max(jnp.abs(AD), axis=-1)
+            A_norm = _safe_colnorm(A_norm)
+            E = 1.0 / A_norm
+        else:
+            E = jnp.ones_like(b)
+        As = E[..., :, None] * AD
+        if pad:
+            As = jnp.pad(As, ((0, 0), (0, 0), (0, pad)))
+        bs = E * b
+
+    lbs = lb / D
+    ubs = ub / D
+    return ScaledProblemH(H=H, p=ps, A=As, b=bs, lb=lbs, ub=ubs, D=D,
+                          E=E), rho_v
+
+
 def identity_scaling(Q, p, A, b, lb, ub, pad: int = 0) -> ScaledProblem:
     D = jnp.ones_like(p)
     E = None if A is None else jnp.ones_like(b)
