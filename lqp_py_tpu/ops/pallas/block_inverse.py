@@ -32,6 +32,20 @@ operator; every pivot block is an SPD Schur complement, so the in-place
 
 Reference parity note: same role as ``torch.linalg.lu_factor`` prep
 (solve_box_qp_admm_torch.py:206-215); TPU-native mechanics.
+
+MEASURED NEGATIVE RESULT (why spd_inverse_fast does NOT use this): at
+(B=128, n=1024) f32 on v5e the kernel is CORRECT (residual ~2e-6) but
+~60 ms vs the recursion's 24 ms.  The scalar pivot sweep costs ~0.8 us
+of FIXED per-step overhead (lane<->sublane transposes, dynamic row
+reads), and with one matrix per program nothing amortizes it: 512
+steps/element x 128 elements ~ 54 ms.  The batched 128-leaf kernel
+amortizes the same overhead across 32 elements per program
+(0.07 us/elem/step).  Lesson recorded here because it keeps being
+rediscovered: on TPU the BATCH dimension is what amortizes per-op
+overhead — do not trade batch vectorization for memory locality in
+scalar-recurrence-heavy kernels.  Kept as the honest implementation of
+the minimal-HBM-traffic inverse (useful if a future Mosaic lowers the
+pivot loop better) and exercised in interpret mode by the test suite.
 """
 
 from __future__ import annotations
