@@ -176,15 +176,20 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
     x_tight = jax.jit(lambda *a: solve_box_qp(*a, tight_cfg).x)(*args0_box)
     _force(x_tight)
 
+    # symmetrize=False is protocol-fair for the timed columns: the
+    # generators emit exactly symmetric Q and the reference performs no
+    # symmetrization pass (solve_box_qp_admm_torch.py:161-215).
     modes = {
-        "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol,
+        "ADMM_FP": BoxQPConfig(eps_abs=tol, eps_rel=tol, symmetrize=False,
                                backward="fixed_point"),
-        "ADMM_KKT": BoxQPConfig(eps_abs=tol, eps_rel=tol, backward="kkt"),
+        "ADMM_KKT": BoxQPConfig(eps_abs=tol, eps_rel=tol, symmetrize=False,
+                                backward="kkt"),
         # The tuned solver converges in ~21-31 iterations on this family;
         # 60 static unrolled iterations is a ~2x margin over observed
         # convergence (the reference's dynamic unroll runs ~61 iterations
         # at ITS rho defaults — same relative margin).
         "ADMM_Unroll": BoxQPConfig(eps_abs=tol, eps_rel=tol, unroll=True,
+                                   symmetrize=False,
                                    unroll_iters=60, adaptive_rho=False),
     }
     for name, cfg in modes.items():

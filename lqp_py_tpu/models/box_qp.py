@@ -218,12 +218,18 @@ class BoxQPPrepared:
     (the dominant prep cost) on every call — combined with ``warm_start``
     the per-solve work collapses to the ADMM iterations themselves.
 
+    ``H`` is the lane-padded factorization operand ``D Q D + rho0 I``
+    (the same fused-build object the direct solve path uses, so prepared
+    and direct solves share one computation graph bit-for-bit); the
+    scaled Q itself is not stored — consumers that need it (polish)
+    reconstruct ``H[:, :n, :n] - rho0 I``.
+
     ``mode`` records the ``kkt_solver`` the factors were built for (static
     pytree metadata, so the object stays a valid jit argument); mixing it
     with a different solve-time config raises instead of dereferencing a
     None factor deep inside the loop.
     """
-    Qs: jax.Array
+    H: jax.Array
     As: Optional[jax.Array]
     bs: Optional[jax.Array]
     lbs: jax.Array
@@ -308,19 +314,20 @@ def prepare_box_qp(Q, A=None, b=None, lb=None, ub=None,
     auto-rho, and the KKT factorization."""
     p0 = jnp.zeros(jnp.asarray(Q).shape[:-1], jnp.asarray(Q).dtype)
     mode = _mode(config)
-    # Scale and pad in one fused pass at the lane-aligned size
-    # _solve_scaled will use, so the cached factors AND the cached scaled
-    # operands are consumed without any per-solve pad copy.
+    # Same fused scale+pad+rho-shift build as the direct solve path
+    # (_prep_h), so a prepared solve reproduces a direct solve
+    # bit-for-bit and the cached operand is consumed without any
+    # per-solve pad copy.
     n = p0.shape[-1]
     n_pad, use_pallas = _padded_n(config, n, mode)
-    sp, _p_norm, rho0, (_B, n, _dtype) = _prep(Q, p0, A, b, lb, ub, config,
-                                               pad=n_pad - n)
-    factors = lin.factorize_kkt(sp.Q, rho0, sp.A, mode=mode,
+    sph, _p_norm, rho0, (_B, n, _dtype) = _prep_h(Q, p0, A, b, lb, ub,
+                                                  config, pad=n_pad - n)
+    factors = lin.factorize_kkt(sph.H, None, sph.A, mode=mode,
                                 materialize_p=use_pallas,
                                 equilibrate=not config.scale)
-    return BoxQPPrepared(Qs=sp.Q, As=sp.A, bs=sp.b, lbs=sp.lb, ubs=sp.ub,
-                         D=sp.D, E=sp.E, rho0=rho0, factors=factors,
-                         mode=mode)
+    return BoxQPPrepared(H=sph.H, As=sph.A, bs=sph.b, lbs=sph.lb,
+                         ubs=sph.ub, D=sph.D, E=sph.E, rho0=rho0,
+                         factors=factors, mode=mode)
 
 
 @solver_precision
@@ -333,12 +340,13 @@ def solve_box_qp_prepared(prep: BoxQPPrepared, p,
             f"BoxQPPrepared was built with kkt_solver={prep.mode!r} but the "
             f"solve config requests {config.kkt_solver!r}; re-run "
             f"prepare_box_qp with the matching config")
-    pv = as_vector(p, "p").astype(prep.Qs.dtype)
+    pv = as_vector(p, "p").astype(prep.H.dtype)
     p_norm = _inf_norm(pv)
     ps = prep.D * pv
-    return _solve_scaled(config, prep.Qs, ps, prep.As, prep.bs,
+    return _solve_scaled(config, None, ps, prep.As, prep.bs,
                          prep.lbs, prep.ubs, prep.D, prep.E,
-                         p_norm, prep.rho0, prep.factors, warm_start)
+                         p_norm, prep.rho0, prep.factors, warm_start,
+                         H0=prep.H)
 
 
 def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
@@ -380,7 +388,19 @@ def _solve_scaled(config, Qs, ps, As, bs, lbs, ubs, D, E,
     else:
         ps_p, lbs_p, ubs_p = ps, lbs, ubs
     if H0 is not None:
-        assert H0.shape[-1] == n_pad, (H0.shape, n_pad)
+        built_h = H0.shape[-1]
+        if built_h < n_pad:
+            # Prepared at a smaller alignment than the solve config wants
+            # (e.g. plain 128 -> pallas 256): extend the decoupled
+            # identity pad.
+            H0 = _pad_identity(H0, n_pad - built_h)
+            As = None if As is None else jnp.pad(
+                As, ((0, 0), (0, 0), (0, n_pad - built_h)))
+        elif built_h > n_pad:
+            # Prepared at a larger alignment: the identity-padded block
+            # decouples exactly — slice.
+            H0 = H0[:, :n_pad, :n_pad]
+            As = None if As is None else As[:, :, :n_pad]
         Qs_p = None
         As_p = As                     # scale_problem_h pads A's columns
         # Scaled Q reconstructed lazily below, only for the polish path.

@@ -143,7 +143,7 @@ def block_spd_inverse(H, interpret=None):
     return pl.pallas_call(
         functools.partial(_block_sweep_kernel, n=n),
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, n, n), H.dtype),
         scratch_shapes=[pltpu.VMEM((BLK, BLK), H.dtype),

@@ -171,3 +171,31 @@ def test_acceleration_unroll_rejected():
 
     with _pytest.raises(ValueError, match="unroll"):
         box_qp_control(acceleration=10, unroll=True)
+
+
+def test_symmetrize_knob_equivalence():
+    """symmetrize=False on an exactly symmetric Q must match the default
+    path bit-for-bit-ish (same fused prep, one fewer HBM pass), and the
+    defensive default must map an asymmetric Q onto its symmetric part."""
+    import jax.numpy as jnp
+    import numpy as np
+    import jax
+
+    from lqp_py_tpu import BoxQPConfig, solve_box_qp
+    from lqp_py_tpu.utils.generators import create_qp_data
+
+    Q, p, A, b, lb, ub = create_qp_data(30, 4, seed=3, dtype=jnp.float64)
+    cfg = BoxQPConfig(eps_abs=1e-8, eps_rel=1e-8)
+    ref = solve_box_qp(Q, p, A, b, lb, ub, cfg)
+    fast = solve_box_qp(Q, p, A, b, lb, ub,
+                        BoxQPConfig(eps_abs=1e-8, eps_rel=1e-8,
+                                    symmetrize=False))
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
+
+    # Asymmetric perturbation: default == solving the symmetric part.
+    N = jax.random.normal(jax.random.PRNGKey(0), Q.shape, Q.dtype) * 1e-3
+    skew = N - jnp.swapaxes(N, -1, -2)      # purely antisymmetric
+    got = solve_box_qp(Q + skew, p, A, b, lb, ub, cfg)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)

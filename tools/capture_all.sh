@@ -19,6 +19,10 @@ run 3600 /tmp/cap_ipacc.log      python experiments/experiment_ip_accuracy.py --
 run 1800 /tmp/cap_serving.log    python experiments/experiment_serving.py
 run 1800 /tmp/cap_hard.log       python experiments/experiment_1_hard.py
 run 1800 /tmp/cap_aa.log         python experiments/experiment_aa.py
+run 3600 /tmp/cap_exp1paper.log  python experiments/experiment_1_paper.py
+run 1800 /tmp/cap_straggler.log  python experiments/experiment_straggler.py
+python experiments/experiment_2_paper.py > /tmp/cap_exp2paper.log 2>&1
+echo "=== exp2_paper exit=$?"
 python experiments/render_readme.py > /tmp/cap_render.log 2>&1
 echo "=== render exit=$?"
 echo "ALL CAPTURES DONE"
