@@ -9,11 +9,15 @@ a serving batch where a few ill-conditioned stragglers keep the lock-step
 loop alive long after the bulk of the batch has converged (e.g. one hard
 MPC instance among many easy ones).
 
-Batch: ``n_batch - n_hard`` random-SPD problems (create_qp_data) +
-``n_hard`` ill-conditioned sparse problems (generate_hard_qp), box-only
-(the two generators' equality blocks have different n_eq).  Easy elements
-converge in ~17 iterations; hard ones need hundreds — so for most of the
-solve the skip fraction is ~(1 - n_hard/n_batch).
+Batch: all ``n_batch`` problems come from the hard generator (so the
+equality blocks share one shape); all but ``n_hard`` of them get a ridge
+``mean(diag Q) * I`` added, which collapses their condition number and
+makes them converge in a few dozen iterations while the un-ridged
+stragglers need hundreds — so for most of the solve the skip fraction is
+~(1 - n_hard/n_batch).  (A first attempt mixed box-only easy/hard
+batches: WITHOUT the equality constraints the "hard" set converges in
+~25 iterations and no skew materializes — the difficulty lives in the
+sparse equality rows + conditioning, not the box.)
 
 Writes exp_straggler_results.json.
 
@@ -32,19 +36,21 @@ import jax
 import jax.numpy as jnp
 
 from lqp_py_tpu import BoxQPConfig, solve_box_qp
-from lqp_py_tpu.utils.generators import create_qp_data, generate_hard_qp
+from lqp_py_tpu.utils.generators import generate_hard_qp
 from lqp_py_tpu.utils.profiling import force as _force
 
 
 def mixed_batch(n_x, n_batch, n_hard, seed=0):
-    easy = create_qp_data(n_x, n_batch - n_hard, seed=seed,
-                          dtype=jnp.float32)
-    hard = generate_hard_qp(n_x, n_hard, seed=seed + 1, dtype=jnp.float32)
-    Q = jnp.concatenate([easy.Q, hard.Q], axis=0)
-    p = jnp.concatenate([easy.p, hard.p], axis=0)
-    lb = jnp.concatenate([easy.lb, hard.lb], axis=0)
-    ub = jnp.concatenate([easy.ub, hard.ub], axis=0)
-    return Q, p, lb, ub
+    hard = generate_hard_qp(n_x, n_batch, seed=seed, dtype=jnp.float32)
+    # Ridge the leading (n_batch - n_hard) elements into easy problems;
+    # the bounds stay feasible (they are anchored to a point of Ax=b,
+    # which does not involve Q).
+    ridge = jnp.mean(jnp.diagonal(hard.Q, axis1=-2, axis2=-1),
+                     axis=-1)                                # (B,)
+    is_easy = (jnp.arange(n_batch) < n_batch - n_hard)
+    Q = hard.Q + jnp.where(is_easy, ridge, 0.0)[:, None, None] \
+        * jnp.eye(n_x, dtype=hard.Q.dtype)
+    return Q, hard.p, hard.A, hard.b, hard.lb, hard.ub
 
 
 def main():
@@ -57,7 +63,7 @@ def main():
     ap.add_argument("--max-iters", type=int, default=4000)
     args = ap.parse_args()
 
-    Q, p, lb, ub = mixed_batch(args.n_x, args.n_batch, args.n_hard)
+    Q, p, A, b, lb, ub = mixed_batch(args.n_x, args.n_batch, args.n_hard)
 
     base = dict(eps_abs=args.tol, eps_rel=args.tol, symmetrize=False,
                 max_iters=args.max_iters)
@@ -71,16 +77,16 @@ def main():
     sols = {}
     for name, cfg in configs.items():
         @jax.jit
-        def solve(Q, p, lb, ub, cfg=cfg):
-            s = solve_box_qp(Q, p, None, None, lb, ub, cfg)
+        def solve(Q, p, A, b, lb, ub, cfg=cfg):
+            s = solve_box_qp(Q, p, A, b, lb, ub, cfg)
             return s, jnp.sum(s.x) + jnp.sum(s.primal_residual)
 
-        s, c = solve(Q, p, lb, ub)
+        s, c = solve(Q, p, A, b, lb, ub)
         _force(c)
         ts = []
         for _ in range(args.n_reps):
             t0 = time.perf_counter()
-            _force(solve(Q, p, lb, ub)[1])
+            _force(solve(Q, p, A, b, lb, ub)[1])
             ts.append(time.perf_counter() - t0)
         med = statistics.median(ts)
         sols[name] = s
@@ -104,8 +110,18 @@ def main():
           f"{out['pallas_speedup']:.2f}x  (paths agree to {dx:.2e})",
           file=sys.stderr)
 
+    # Merge by size so the winning (n=1000) and losing (n=500) regimes
+    # both stay on record.
+    try:
+        with open("exp_straggler_results.json") as f:
+            all_res = json.load(f)
+        if "results" not in all_res:       # migrate the flat layout
+            all_res = {"results": {str(all_res.get("n_x")): all_res}}
+    except (FileNotFoundError, json.JSONDecodeError):
+        all_res = {"results": {}}
+    all_res["results"][str(args.n_x)] = out
     with open("exp_straggler_results.json", "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(all_res, f, indent=2)
     print(json.dumps({"pallas_speedup": round(out["pallas_speedup"], 3),
                       "xla_ms": round(out["xla_step"]["median_s"] * 1e3, 1),
                       "pallas_ms": round(

@@ -138,8 +138,11 @@ class BoxQPConfig:
     #: Use the Pallas fused ADMM-step kernel (inverse mode only): fuses the
     #: GEMV + projection + dual update and skips HBM reads entirely for
     #: batch elements that have already converged (per-element early exit,
-    #: which lock-step XLA batching cannot do).  Runs in interpreter mode
-    #: on CPU.
+    #: which lock-step XLA batching cannot do).  Measured win: straggler-
+    #: skewed serving batches at n >= ~1000 (1.11x end-to-end with 8 hard
+    #: among 120 easy problems, experiments/experiment_straggler.py);
+    #: loses ~3-15% on uniform batches and at n <= 512, hence off by
+    #: default.  Runs in interpreter mode on CPU.
     use_pallas_step: bool = False
     #: Anderson-acceleration window on the (z, u) ADMM fixed point (same
     #: batched safeguarded type-II scheme as GenQPConfig.acceleration;

@@ -21,15 +21,19 @@ reduction) because an MXU matvec at f32-faithful precision is 6 bf16
 passes on a 1-column operand — compute-bound at ~1.7 ms (and Mosaic has no
 3-pass HIGH lowering).  f32-exact to ~4e-7.
 
-Win case: extremely skewed batches where a large fraction of elements is
-converged for most of the run (>=60-70% skip, e.g. a handful of hard
-stragglers in a big batch).  On this repo's benchmark sets the skip
-fraction is lower and the ~0.15 ms/GEMV VPU-matvec penalty wins: measured
-end-to-end on the hard set at n=1024, 267 ms vs 259 ms for the default
-XLA path — hence off by default (``BoxQPConfig.use_pallas_step``).  The
-kernel remains the honest implementation of a capability XLA cannot
-express (conditional HBM traffic), and its advantage grows with n and
-skew.
+Win case, measured end-to-end (experiments/experiment_straggler.py,
+exp_straggler_results.json): a straggler-skewed serving batch — 8
+un-ridged hard problems among 120 easy ones, so ~94% of elements are
+converged for ~2/3 of the 157-iteration solve — runs **1.11x faster**
+than the lock-step XLA path at (B=128, n=1024) f32 (230 vs 254 ms).
+The same workload at n=512 still LOSES (0.85x): the per-element
+fixed overheads (predicate, DMA bookkeeping, VPU matvec) are a larger
+fraction of a 2-row-tile GEMV, and each adaptive-rho refactorization
+additionally pays the P materialization the implicit-factor XLA path
+avoids.  On the UNIFORM benchmark sets the skip fraction is low and the
+~0.15 ms/GEMV VPU-matvec penalty wins: 267 vs 259 ms on the hard set at
+n=1024 — hence off by default (``BoxQPConfig.use_pallas_step``); turn it
+on for skewed batches at n >= ~1000.
 
 Frozen elements return their previous iterate bitwise (they are at a fixed
 point within tolerance).
