@@ -216,7 +216,7 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
             *args0_box)
     out["ADMM_Unroll"].update(quality_gate("ADMM_Unroll", x_u, x_tight))
 
-    gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol)
+    gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol, symmetrize=False)
     gen_call = lambda Q, p, A, b, G, h: qp_gen(Q, p, A, b, G, h,
                                                config=gen_cfg)
     fwd = jax.jit(lambda *a: jnp.sum(gen_call(*a)))
@@ -228,7 +228,7 @@ def run_size(n_x, n_batch, tol, n_sims, include_ip):
                                      sol_g.converged, sol_g.iterations))
 
     if include_ip:
-        ip_cfg = OptNetConfig(tol=tol, max_iters=30)
+        ip_cfg = OptNetConfig(tol=tol, max_iters=30, symmetrize=False)
         ip_call = lambda Q, p, A, b, G, h: qp_optnet(Q, p, A, b, G, h,
                                                      config=ip_cfg)
         fwd = jax.jit(lambda *a: jnp.sum(ip_call(*a)))

@@ -82,7 +82,7 @@ def run_tol_sweep(n_x, n_batch, n_sims):
         out[f"ADMM_KKT_{digit}"].update(rec)
 
         # Interior point (the reference times qpth/OptNet here).
-        ip_cfg = OptNetConfig(tol=tol)
+        ip_cfg = OptNetConfig(tol=tol, symmetrize=False)
         ip_call = lambda Q, p, A, b, G, h, c=ip_cfg: qp_optnet(
             Q, p, A, b, G, h, config=c)
         fwd = jax.jit(lambda *a, call=ip_call: jnp.sum(call(*a)))
@@ -91,7 +91,7 @@ def run_tol_sweep(n_x, n_batch, n_sims):
         out[f"OptNet_{digit}"]["tol"] = tol
 
         # Operator splitting (the reference times SCS here).
-        gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol)
+        gen_cfg = GenQPConfig(eps_abs=tol, eps_rel=tol, symmetrize=False)
         gen_call = lambda Q, p, A, b, G, h, c=gen_cfg: qp_gen(
             Q, p, A, b, G, h, config=c)
         fwd = jax.jit(lambda *a, call=gen_call: jnp.sum(call(*a)))

@@ -225,6 +225,49 @@ def render():
                 f"in the fused rollout.")
         out.append("")
 
+    strag = _load("exp_straggler_results.json")
+    if strag and strag.get("results"):
+        cells = {int(k): v for k, v in strag["results"].items()}
+        lines = []
+        for n_x in sorted(cells, reverse=True):
+            c = cells[n_x]
+            lines.append(
+                f"dz={n_x}: {c['pallas_speedup']:.2f}x "
+                f"({c['xla_step']['median_s']*1e3:.0f} -> "
+                f"{c['pallas_step']['median_s']*1e3:.0f} ms, "
+                f"{c['xla_step']['iterations']} iters)")
+        out.append(
+            f"On straggler-skewed serving batches ({cells[max(cells)]['n_hard']} "
+            f"hard among {cells[max(cells)]['n_batch']} problems — ~94% of "
+            f"elements converged for most of the\nsolve), the opt-in Pallas "
+            f"early-exit step (`use_pallas_step=True`), which skips\nthe HBM "
+            f"read of converged elements' operator panels entirely, measures "
+            f"{'; '.join(lines)}\n— a per-element early exit lock-step XLA "
+            f"batching cannot express.  It loses on\nuniform batches and "
+            f"small sizes, hence off by default "
+            f"(`exp_straggler_results.json`).")
+        out.append("")
+
+    paper = _load("exp1_paper_results.json")
+    if paper and paper.get("results"):
+        pr = paper["results"]
+        digs = sorted({int(k.rsplit("_", 1)[1]) for k in pr})
+        fams = ["ADMM_FP", "ADMM_KKT", "ADMM_Unroll", "OptNet", "GenQP"]
+        out.append(
+            f"Tolerance sweep (the reference's paper variant, "
+            f"`experiment_1_paper.py`,\ndz={paper['protocol']['n_x']}, "
+            f"total fwd+bwd s at eps = 1e-1 / 1e-3 / 1e-5):")
+        out.append("")
+        out.append("| solver | " + " | ".join(f"1e-{d}" for d in digs) + " |")
+        out.append("|---|" + "---|" * len(digs))
+        for f_ in fams:
+            row = f"| {f_} |"
+            for d in digs:
+                rec = pr.get(f"{f_}_{d}")
+                row += f" {_fmt(rec['total']) if rec else '—'} |"
+            out.append(row)
+        out.append("")
+
     aa = _load("exp_aa_results.json")
     if aa:
         # Largest hard-set iteration win per solver across captured windows.

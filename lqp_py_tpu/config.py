@@ -205,6 +205,8 @@ class OptNetConfig:
     #: Residual reduction across the batch for the stopping test:
     #: 'mean' | 'max'.
     reduce: str = "max"
+    #: Defensive 0.5*(Q + Q^T) pass — see BoxQPConfig.symmetrize.
+    symmetrize: bool = True
     int_reg: float = 1e-6
     #: Per-iteration factorization strategy:
     #:   'schur'     - reference shape (optnet.py:281-296): invert the
@@ -245,6 +247,8 @@ class GenQPConfig:
     rho_min: float = 1e-6
     rho_max: float = 1e6
     sigma: float = 1e-6
+    #: Defensive 0.5*(Q + Q^T) pass — see BoxQPConfig.symmetrize.
+    symmetrize: bool = True
     #: Over-relaxation on the splitting variable (1.0 = plain iteration);
     #: same accelerator as BoxQPConfig.alpha.
     alpha: float = 1.6

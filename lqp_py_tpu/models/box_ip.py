@@ -104,7 +104,8 @@ def solve_box_qp_ip(Q, p, A=None, b=None, lb=None, ub=None,
     finite.  Returns a BoxQPSolution (z = clip(x), u = lam/rho slot holds
     the net bound dual)."""
     Q = jnp.asarray(Q)
-    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
+    if config.symmetrize:
+        Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
     dtype = Q.dtype
     p = as_vector(p, "p").astype(dtype)
     lb = as_vector(lb, "lb").astype(dtype)

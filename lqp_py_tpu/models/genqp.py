@@ -132,7 +132,8 @@ def _gen_prepare(Q, A, b, G, h, config) -> GenQPPrepared:
     if G is None:
         raise ValueError("solve_qp_gen requires G/h; use solve_qp_eqcon")
     Q = jnp.asarray(Q)
-    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    if config.symmetrize:
+        Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
     dtype = Q.dtype
     G = jnp.asarray(G, dtype)
     h = as_vector(h, "h").astype(dtype)

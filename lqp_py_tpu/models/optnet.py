@@ -257,7 +257,8 @@ def solve_qp_optnet(Q, p, A=None, b=None, G=None, h=None,
 @solver_precision
 def _solve_qp_optnet_full(Q, p, A, b, G, h, config):
     Q = jnp.asarray(Q)
-    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
+    if config.symmetrize:
+        Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))  # symmetric-manifold input
     dtype = Q.dtype
     p = as_vector(p, "p").astype(dtype)
     B, n = p.shape

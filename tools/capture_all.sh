@@ -21,6 +21,7 @@ run 1800 /tmp/cap_hard.log       python experiments/experiment_1_hard.py
 run 1800 /tmp/cap_aa.log         python experiments/experiment_aa.py
 run 3600 /tmp/cap_exp1paper.log  python experiments/experiment_1_paper.py
 run 1800 /tmp/cap_straggler.log  python experiments/experiment_straggler.py
+run 2400 /tmp/cap_straggler1k.log python experiments/experiment_straggler.py --n-x 1000
 python experiments/experiment_2_paper.py > /tmp/cap_exp2paper.log 2>&1
 echo "=== exp2_paper exit=$?"
 python experiments/render_readme.py > /tmp/cap_render.log 2>&1
