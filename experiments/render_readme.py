@@ -306,13 +306,16 @@ def render():
         mx_n = max(c["n_x"] for c in ipacc["cells"])
         cells = {(c["solver"], c["refine_steps"], bool(c["polish"])): c
                  for c in ipacc["cells"] if c["n_x"] == mx_n}
+        have_f64 = any("max_dev_x_vs_f64" in c for c in ipacc["cells"])
         out.append(
             f"Interior-point accuracy/time tradeoff at dz={mx_n} "
-            f"(max |x − x_tight| vs a\ntight eps=1e-6 ADMM solve; "
+            f"(primary column: max |x − x_f64|\nvs an independent f64 "
+            f"scalar-ADMM oracle at eps=1e-9; secondary: max |x − x_tight|\n"
+            f"vs a tight f32 ADMM solve over the FULL batch; "
             f"`ip_accuracy_results.json`):")
         out.append("")
-        out.append("| refine_steps | polish | OptNet IP dev | fwd | "
-                   "Box IP dev | fwd |")
+        out.append("| refine_steps | polish | OptNet IP f64 / tight | fwd | "
+                   "Box IP f64 / tight | fwd |")
         out.append("|---|---|---|---|---|---|")
         for refine in (0, 1, 2):
             for polish in (False, True):
@@ -323,12 +326,24 @@ def render():
                 row = f"| {refine} | {'on' if polish else 'off'} |"
                 for c in (o, bx):
                     if c:
-                        row += (f" {c['max_dev_x_vs_tight']:.1e} | "
+                        f64 = (f"{c['max_dev_x_vs_f64']:.1e} / "
+                               if have_f64 and "max_dev_x_vs_f64" in c
+                               else "")
+                        row += (f" {f64}{c['max_dev_x_vs_tight']:.1e} | "
                                 f"{_fmt(c['fwd_s'])} s |")
                     else:
                         row += " — | — |"
                 out.append(row)
         out.append("")
+        if have_f64:
+            out.append(
+                "Polish lifts both IPs to ~1e-6 of the f64 oracle "
+                "(eliminating the f32 x-accuracy\nfloor of the plain IP); "
+                "the generic OptNet IP's full-batch tight column keeps a\n"
+                "~4e-3 outlier element whose active-set guess polish "
+                "rejects, while the\nbox-structured IP polishes the whole "
+                "batch to ~3e-5.")
+            out.append("")
         admm = {bool(c["polish"]): c for c in ipacc["cells"]
                 if c["n_x"] == mx_n and c["solver"] == "ADMM"}
         if True in admm and False in admm:
